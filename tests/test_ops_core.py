@@ -1,0 +1,333 @@
+"""Unit tests for the math core: PE, MLP, compositing, losses.
+
+Golden values are hand-derived from the reference formulas
+(/root/reference/objnerf/{embedding,model,render_rays,loss}.py) — see each
+test's docstring for the exact formula being pinned.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from openobj_tpu.ops import embedding, losses, mlp, rendering, sampling
+
+
+class TestEmbedding:
+    def test_dims(self):
+        assert embedding.embedding_dim(max_deg=5) == 129
+        assert embedding.embedding_split(max_deg=5) == (87, 42)
+        assert embedding.ICOSPHERE_DIRS.shape == (21, 3)
+
+    def test_dirs_unit_norm(self):
+        norms = np.linalg.norm(embedding.ICOSPHERE_DIRS, axis=1)
+        np.testing.assert_allclose(norms, 1.0, atol=1e-6)
+
+    def test_forward_golden(self):
+        """emb = [x/s, sin(pi * f_k * (x/s)·d_j)] with f = 2^0..2^5,
+        frequency-major layout (reference embedding.py:46-55)."""
+        pe = embedding.init_pe_params(scale=2.0)
+        x = jnp.array([[0.3, -0.7, 1.1]])
+        out = embedding.positional_encoding(pe, x, max_deg=5)
+        assert out.shape == (1, 129)
+        t = np.array([0.15, -0.35, 0.55])
+        np.testing.assert_allclose(out[0, :3], t, rtol=1e-6)
+        proj = embedding.ICOSPHERE_DIRS @ t  # [21]
+        for k, f in enumerate([1, 2, 4, 8, 16, 32]):
+            exp = np.sin(np.pi * f * proj)
+            np.testing.assert_allclose(
+                out[0, 3 + 21 * k : 3 + 21 * (k + 1)], exp, rtol=1e-5, atol=1e-6
+            )
+
+    def test_scale_not_differentiated(self):
+        pe = embedding.init_pe_params(scale=2.0)
+        x = jnp.ones((4, 3))
+
+        def f(p):
+            return embedding.positional_encoding(p, x).sum()
+
+        g = jax.grad(f)(pe)
+        assert float(jnp.abs(g["scale"])) == 0.0
+        assert float(jnp.abs(g["dirs"]).sum()) > 0.0  # dirs ARE trainable
+
+    def test_batch_shapes(self):
+        pe = embedding.init_pe_params(scale=5.0)
+        x = jnp.zeros((7, 11, 3))
+        assert embedding.positional_encoding(pe, x).shape == (7, 11, 129)
+
+
+class TestMLP:
+    def test_shapes_and_heads(self, key):
+        p = mlp.init_mlp_params(key, hidden=32, clip_size=512)
+        emb = jnp.zeros((5, 129))
+        a, c, f = mlp.mlp_apply(p, emb)
+        assert a.shape == (5, 1)
+        assert c.shape == (5, 3)
+        assert f.shape == (5, 512)
+        assert (c >= 0).all() and (c <= 1).all()  # sigmoid head
+
+    def test_alpha_scale(self, key):
+        """alpha = raw * 10 (reference model.py:88): at zero weights input the
+        alpha of a zero-bias net is exactly 0; check linearity of the scale by
+        doubling the head weight."""
+        p = mlp.init_mlp_params(key, hidden=16)
+        emb = jax.random.normal(key, (3, 129))
+        a1, _, _ = mlp.mlp_apply(p, emb)
+        p2 = jax.tree.map(lambda x: x, p)
+        p2["out_alpha"] = {"w": p["out_alpha"]["w"] * 2, "b": p["out_alpha"]["b"]}
+        a2, _, _ = mlp.mlp_apply(p2, emb)
+        np.testing.assert_allclose(np.asarray(a2), np.asarray(a1) * 2, rtol=1e-5)
+
+    def test_vmap_over_objects(self, key):
+        """A stacked [O, ...] param pytree under vmap must equal per-object
+        application — the core vMAP ensembling contract."""
+        keys = jax.random.split(key, 4)
+        ps = [mlp.init_mlp_params(k, hidden=32, clip_size=8) for k in keys]
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *ps)
+        emb = jax.random.normal(key, (4, 6, 129))
+        a_b, c_b, f_b = jax.vmap(mlp.mlp_apply)(stacked, emb)
+        for i in range(4):
+            a_i, c_i, f_i = mlp.mlp_apply(ps[i], emb[i])
+            np.testing.assert_allclose(np.asarray(a_b[i]), np.asarray(a_i), rtol=2e-5, atol=1e-5)
+            np.testing.assert_allclose(np.asarray(f_b[i]), np.asarray(f_i), rtol=2e-5, atol=1e-5)
+
+    def test_param_count_obj(self, key):
+        # 32-hidden object net: known layer dims (model.py:16-56)
+        p = mlp.init_mlp_params(key, hidden=32, clip_size=512)
+        n = mlp.param_count(p)
+        expect = (
+            (87 * 32 + 32) + (32 * 32 + 32) + (119 * 32 + 32) + (32 * 32 + 32)
+            + (32 * 1 + 1) + (74 * 32 + 32) + (32 * 3 + 3)
+            + (74 * 32 + 32) + (32 * 512 + 512)
+        )
+        assert n == expect
+
+
+class TestRendering:
+    def test_termination_golden(self):
+        """w_i = occ_i * prod_{j<i}(1 - occ_j + 1e-10) (render_rays.py:32-54)."""
+        occ = jnp.array([[0.2, 0.5, 0.9]])
+        w = rendering.occupancy_to_termination(occ)
+        e = 1e-10
+        expect = np.array(
+            [0.2, 0.5 * (0.8 + e), 0.9 * (0.8 + e) * (0.5 + e)]
+        )
+        np.testing.assert_allclose(np.asarray(w[0]), expect, rtol=1e-6)
+
+    def test_termination_batch_shapes(self):
+        occ = jnp.ones((4, 7, 10)) * 0.3
+        w = rendering.occupancy_to_termination(occ)
+        assert w.shape == (4, 7, 10)
+        # weights sum <= 1 (+ tiny eps slack)
+        assert float(jnp.sum(w, -1).max()) <= 1.0 + 1e-6
+
+    def test_solid_surface_terminates(self):
+        """occ ~ [0,0,1,...] must put all weight at the surface sample."""
+        occ = jnp.array([[0.0, 0.0, 1.0, 0.5]])
+        w = rendering.occupancy_to_termination(occ)
+        np.testing.assert_allclose(np.asarray(w[0]), [0, 0, 1, 0], atol=1e-6)
+
+    def test_render_depth(self):
+        occ = jnp.array([[0.0, 1.0, 0.0]])
+        z = jnp.array([[1.0, 2.0, 3.0]])
+        w = rendering.occupancy_to_termination(occ)
+        d = rendering.render(w, z)
+        np.testing.assert_allclose(float(d[0]), 2.0, rtol=1e-6)
+
+    def test_losses(self):
+        p = jnp.array([1.0, 2.0])
+        g = jnp.array([1.5, 1.0])
+        np.testing.assert_allclose(
+            np.asarray(rendering.render_loss(p, g, "L1")), [0.5, 1.0]
+        )
+        np.testing.assert_allclose(
+            np.asarray(rendering.render_loss(p, g, "L2")), [0.25, 1.0]
+        )
+        a = jnp.array([[1.0, 0.0]])
+        b = jnp.array([[0.0, 1.0]])
+        np.testing.assert_allclose(
+            np.asarray(rendering.render_loss(a, b, "cos")), [1.0], atol=1e-6
+        )
+
+    def test_reduce_masked_loss(self):
+        lm = jnp.array([[1.0, 2.0, 3.0], [5.0, 5.0, 5.0]])
+        mask = jnp.array([[True, True, False], [False, False, False]])
+        out = rendering.reduce_masked_loss(lm * mask, mask)
+        np.testing.assert_allclose(np.asarray(out), [1.5, 0.0], rtol=1e-6)
+
+    def test_reduce_var_weighting(self):
+        """information = 1/(sqrt(var)+1e-4) for L1 (render_rays.py:96-102)."""
+        lm = jnp.array([[2.0]])
+        mask = jnp.array([[True]])
+        var = jnp.array([[4.0]])
+        out = rendering.reduce_masked_loss(lm, mask, var=var, loss_type="L1")
+        np.testing.assert_allclose(float(out[0]), 2.0 / (2.0 + 1e-4), rtol=1e-5)
+
+    def test_make_3d_grid(self):
+        tf = jnp.eye(4).at[:3, 3].set(jnp.array([1.0, 2.0, 3.0]))
+        g = rendering.make_3d_grid(dim=3, scale=jnp.array([2.0, 2.0, 2.0]), transform=tf)
+        assert g.shape == (3, 3, 3, 3)
+        np.testing.assert_allclose(np.asarray(g[0, 0, 0]), [-1.0, 0.0, 1.0], atol=1e-6)
+        np.testing.assert_allclose(np.asarray(g[-1, -1, -1]), [3.0, 4.0, 5.0], atol=1e-6)
+
+
+class TestSampling:
+    def test_stratified_bins_bounds_and_order(self, key):
+        z = sampling.stratified_bins(key, 0.5, jnp.full((64,), 3.5), 10, (64,))
+        assert z.shape == (64, 10)
+        assert float(z.min()) >= 0.5
+        assert float(z.max()) <= 3.5
+        assert bool((jnp.diff(z, axis=-1) > 0).all())  # stratified => sorted
+
+    def test_stratified_bins_uniform_coverage(self, key):
+        z = sampling.stratified_bins(key, 0.0, 1.0, 4, (10000,))
+        # bin k must stay within [k/4, (k+1)/4]
+        for k in range(4):
+            col = np.asarray(z[:, k])
+            assert col.min() >= k / 4 - 1e-6
+            assert col.max() <= (k + 1) / 4 + 1e-6
+
+    def test_normal_bins(self, key):
+        depth = jnp.full((5000,), 2.0)
+        z = sampling.normal_bins(key, depth, 9, delta=0.1)
+        assert z.shape == (5000, 9)
+        assert float(jnp.abs(z - 2.0).max()) <= 0.1 + 1e-6
+        assert bool((jnp.diff(z, axis=-1) >= 0).all())  # sorted
+        # std of centered samples ~ delta/3 (clipped)
+        assert abs(float(jnp.std(z - 2.0)) - 0.1 / 3) < 0.01
+
+    def test_ray_box_intersection(self):
+        o = jnp.array([[0.0, 0.0, -5.0], [10.0, 10.0, -5.0]])
+        d = jnp.array([[0.0, 0.0, 1.0], [0.0, 0.0, 1.0]])
+        near, far, hit = sampling.ray_box_intersection(
+            o, d, jnp.array([-1.0, -1.0, -1.0]), jnp.array([1.0, 1.0, 1.0])
+        )
+        assert bool(hit[0]) and not bool(hit[1])
+        np.testing.assert_allclose(float(near[0]), 4.0, rtol=1e-6)
+        np.testing.assert_allclose(float(far[0]), 6.0, rtol=1e-6)
+
+    def test_ray_box_behind(self):
+        """A box entirely behind the origin must not hit (far > 0 test)."""
+        o = jnp.array([[0.0, 0.0, 5.0]])
+        d = jnp.array([[0.0, 0.0, 1.0]])
+        _, _, hit = sampling.ray_box_intersection(
+            o, d, jnp.array([-1.0, -1.0, -1.0]), jnp.array([1.0, 1.0, 1.0])
+        )
+        assert not bool(hit[0])
+
+    def test_origin_dirs_w(self):
+        t = jnp.eye(4).at[:3, 3].set(jnp.array([1.0, 2.0, 3.0]))
+        # 90° rotation about z
+        r = jnp.array([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]])
+        t = t.at[:3, :3].set(r)
+        o, d = sampling.origin_dirs_w(t[None], jnp.array([[1.0, 0.0, 0.0]]))
+        np.testing.assert_allclose(np.asarray(o[0]), [1.0, 2.0, 3.0], atol=1e-6)
+        np.testing.assert_allclose(np.asarray(d[0]), [0.0, 1.0, 0.0], atol=1e-6)
+
+    def test_sample_z_values_modes(self, key):
+        """The 3-mode z lattice (vmap.py:456-554): invalid depth spans to the
+        batch max; this-object rays concentrate near the surface; other rays
+        stay within [d-eps, d+stop_eps]."""
+        depth = jnp.array([0.0, 2.0, 2.0, 4.0])
+        state = jnp.array([0, 1, 0, 1])
+        z = sampling.sample_z_values(
+            key, depth, state, min_bound=0.0, n_bins_cam2surface=1,
+            n_bins=9, surface_eps=0.1, stop_eps=0.05,
+        )
+        assert z.shape == (4, 10)
+        z = np.asarray(z)
+        # invalid ray: stratified over [0, 4] — must exceed its own (zero) depth
+        assert z[0].max() > 1.0 and z[0].min() >= 0.0
+        # this-object ray @2.0: back 9 bins within ±0.1 of the surface
+        assert np.abs(z[1, 1:] - 2.0).max() <= 0.1 + 1e-6
+        # front bin between min_bound and d - eps
+        assert 0.0 <= z[1, 0] <= 1.9
+        # other-object ray @2.0: back bins within [1.9, 2.05]
+        assert z[2, 1:].min() >= 1.9 - 1e-6 and z[2, 1:].max() <= 2.05 + 1e-6
+
+    def test_rays_to_points(self):
+        o = jnp.array([[0.0, 0.0, 0.0]])
+        d = jnp.array([[0.0, 0.0, 2.0]])
+        z = jnp.array([[1.0, 2.0]])
+        p = sampling.rays_to_points(o, d, z, obj_center=jnp.array([1.0, 0.0, 0.0]))
+        np.testing.assert_allclose(
+            np.asarray(p[0]), [[-1.0, 0.0, 2.0], [-1.0, 0.0, 4.0]], atol=1e-6
+        )
+
+    def test_camera_ray_dirs(self):
+        dirs = sampling.camera_ray_dirs(8, 6, fx=2.0, fy=2.0, cx=4.0, cy=3.0)
+        assert dirs.shape == (6, 8, 3)
+        np.testing.assert_allclose(np.asarray(dirs[3, 4]), [0.0, 0.0, 1.0], atol=1e-6)
+        np.testing.assert_allclose(np.asarray(dirs[0, 0]), [-2.0, -1.5, 1.0], atol=1e-6)
+
+
+class TestStepBatchLoss:
+    def _make(self, key, O=3, R=16, P=10):
+        ks = jax.random.split(key, 6)
+        alpha = jax.random.normal(ks[0], (O, R, P))
+        color = jax.nn.sigmoid(jax.random.normal(ks[1], (O, R, P, 3)))
+        z = jnp.sort(jax.random.uniform(ks[2], (O, R, P)) * 3 + 0.5, axis=-1)
+        gt_d = jax.random.uniform(ks[3], (O, R)) * 3 + 0.5
+        gt_c = jax.random.uniform(ks[4], (O, R, 3))
+        state = jax.random.randint(ks[5], (O, R), 0, 3)
+        return alpha, color, gt_d, gt_c, state, z
+
+    def test_finite_and_positive(self, key):
+        args = self._make(key)
+        total, per_obj = losses.step_batch_loss(*args)
+        assert np.isfinite(float(total))
+        assert per_obj.shape == (3,)
+        assert float(total) >= 0
+
+    def test_active_mask_gates_slots(self, key):
+        args = self._make(key)
+        active = jnp.array([True, False, True])
+        total, per_obj = losses.step_batch_loss(*args, active=active)
+        assert float(per_obj[1]) == 0.0
+        t_all, _ = losses.step_batch_loss(*args)
+        assert float(total) < float(t_all)
+
+    def test_inactive_slot_gets_zero_grads(self, key):
+        """Gradient w.r.t. alpha of a gated slot must be exactly zero —
+        this is what makes the preallocated object axis trainable."""
+        alpha, color, gt_d, gt_c, state, z = self._make(key)
+        active = jnp.array([True, False, True])
+
+        def f(a):
+            t, _ = losses.step_batch_loss(a, color, gt_d, gt_c, state, z, active=active)
+            return t
+
+        g = jax.grad(f)(alpha)
+        assert float(jnp.abs(g[1]).sum()) == 0.0
+        assert float(jnp.abs(g[0]).sum()) > 0.0
+
+    def test_perfect_prediction_low_loss(self, key):
+        """A field that renders exactly the GT depth/color/silhouette should
+        have near-zero loss."""
+        O, R, P = 1, 8, 10
+        gt_d = jnp.full((O, R), 2.0)
+        z = jnp.broadcast_to(jnp.linspace(0.5, 3.5, P), (O, R, P))
+        # huge alpha at the sample closest to gt depth, -huge elsewhere
+        closest = jnp.argmin(jnp.abs(z - gt_d[..., None]), axis=-1)
+        alpha = jnp.where(
+            jnp.arange(P)[None, None, :] == closest[..., None], 500.0, -500.0
+        )
+        gt_c = jnp.ones((O, R, 3)) * 0.25
+        color = jnp.ones((O, R, P, 3)) * 0.25
+        state = jnp.ones((O, R), dtype=jnp.int32)  # all this-object
+        z_at = jnp.take_along_axis(z, closest[..., None], axis=-1)[..., 0]
+        total, _ = losses.step_batch_loss(alpha, color, z_at, gt_c, state, z)
+        assert float(total) < 1e-3
+
+    def test_partfeat_cosine_term(self, key):
+        alpha, color, gt_d, gt_c, state, z = self._make(key, O=2, R=8, P=10)
+        C = 16
+        k1, k2 = jax.random.split(key)
+        gt_pf = jax.random.normal(k1, (2, 8, C))
+        pred_pf = jax.random.normal(k2, (2, 8, 10, C))
+        t_no, _ = losses.step_batch_loss(alpha, color, gt_d, gt_c, state, z)
+        t_pf, _ = losses.step_batch_loss(
+            alpha, color, gt_d, gt_c, state, z,
+            gt_partfeat=gt_pf, pred_partfeat=pred_pf,
+        )
+        assert float(t_pf) != float(t_no)
