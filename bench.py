@@ -1,0 +1,148 @@
+"""Throughput benchmark: batched multi-object NeRF training, reference
+workload shape (Replica room_0 — see BASELINE.md).
+
+Measures steady-state rays/sec of the jitted per-frame training program
+(sampling + 100 AdamW steps) at the reference envelope: 50 active object
+fields (32-hidden, 512-d CLIP head, part-feature distillation on) + the
+128-hidden background, 120 rays x 10 samples per object per step, 1200 x 14
+for the bg, on full-resolution (680x1200) device-resident frames.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference publishes no numbers (BASELINE.md), so the
+baseline is the documented workload-envelope estimate REF_RAYS_PER_SEC for
+the reference's single-GPU torch/functorch loop: 7.2e5 ray-evals per frame
+(BASELINE.md table) at an estimated ~1.5 s/frame on its RTX-class target
+(100 sequential optimizer steps, each ~40 small CUDA kernel launches via
+functorch vmap + AdamW over ~100 param groups) ~= 5e5 rays/sec. The driver's
+north star is >= 20x on a v5e-8; this bench runs on ONE chip (multiply by
+~8 for the object-sharded slice estimate — object-parallel scaling is
+embarrassingly parallel, see parallel/sharding.py).
+"""
+
+import json
+import time
+
+import numpy as np
+
+REF_RAYS_PER_SEC = 5.0e5  # documented estimate, see module docstring
+
+N_ACTIVE_OBJECTS = 50
+N_SLOTS = 64
+H, W = 680, 1200
+N_FRAMES_STORE = 20
+N_TIMED_FRAMES = 4
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from openobj_tpu.core import trainer
+    from openobj_tpu.core.frame_store import append_frame, init_frame_store
+    from openobj_tpu.core.scene import Camera
+
+    cfg = trainer.TrainConfig(part_mode=True)  # defaults = room_0
+    cam = Camera(width=W, height=H, fx=600.0, fy=600.0, cx=599.5, cy=339.5)
+
+    key = jax.random.PRNGKey(0)
+    state = trainer.init_train_state(key, cfg, n_slots=N_SLOTS)
+
+    store = init_frame_store(
+        N_FRAMES_STORE, H, W, part_feat_dim=cfg.clip_size, part_down=cfg.part_down
+    )
+    rng = np.random.default_rng(0)
+    inst_full = rng.integers(-1, N_ACTIVE_OBJECTS, (H, W)).astype(np.int32)
+    for f in range(N_FRAMES_STORE):
+        pose = np.eye(4, dtype=np.float32)
+        pose[:3, 3] = [0.1 * f, 0, 0]
+        store, _ = append_frame(
+            store,
+            rng.integers(0, 255, (H, W, 3)).astype(np.uint8),
+            rng.uniform(0.5, 6.0, (H, W)).astype(np.float32),
+            inst_full,
+            pose,
+            partfeat=rng.normal(size=(H // cfg.part_down, W // cfg.part_down,
+                                      cfg.clip_size)).astype(np.float32),
+        )
+
+    K = N_FRAMES_STORE
+    active = np.zeros(N_SLOTS, bool)
+    active[:N_ACTIVE_OBJECTS] = True
+    bbox = np.tile(
+        np.asarray([0, H, 0, W], np.float32), (N_SLOTS, K, 1)
+    )
+    # realistic object bboxes: ~1/5 of the frame
+    bbox[:, :, 0] = rng.integers(0, H // 2, (N_SLOTS, K))
+    bbox[:, :, 1] = bbox[:, :, 0] + H // 5
+    bbox[:, :, 2] = rng.integers(0, W // 2, (N_SLOTS, K))
+    bbox[:, :, 3] = bbox[:, :, 2] + W // 5
+    fg_tables = {
+        "kf_frames": jnp.asarray(
+            rng.integers(0, N_FRAMES_STORE, (N_SLOTS, K)), jnp.int32
+        ),
+        "kf_bbox": jnp.asarray(bbox),
+        "n_kf": jnp.full((N_SLOTS,), K - 1, jnp.int32),
+        "latest2": jnp.tile(jnp.asarray([K - 3, K - 2], jnp.int32), (N_SLOTS, 1)),
+        "active": jnp.asarray(active),
+        "obj_inst": jnp.arange(N_SLOTS, dtype=jnp.int32),
+        "obj_center": jnp.zeros((N_SLOTS, 3), jnp.float32),
+    }
+    bg_tables = {
+        "kf_frames": fg_tables["kf_frames"][0],
+        "kf_bbox": jnp.tile(jnp.asarray([0, H, 0, W], jnp.float32), (K, 1)),
+        "n_kf": jnp.asarray(K - 1, jnp.int32),
+        "latest2": fg_tables["latest2"][0],
+    }
+    cam_dirs = cam.ray_dirs()
+
+    def run(k):
+        return trainer.train_frame(
+            state, store, cam_dirs, fg_tables, bg_tables, k, cfg
+        )
+
+    # compile + warmup
+    t0 = time.perf_counter()
+    new_state, losses = run(jax.random.PRNGKey(1))
+    jax.block_until_ready(losses)
+    compile_s = time.perf_counter() - t0
+
+    # steady state (state is donated; rebind each call)
+    times = []
+    for i in range(N_TIMED_FRAMES):
+        k = jax.random.PRNGKey(2 + i)
+        t0 = time.perf_counter()
+        new_state, losses = trainer.train_frame(
+            new_state, store, cam_dirs, fg_tables, bg_tables, k, cfg
+        )
+        jax.block_until_ready(losses)
+        times.append(time.perf_counter() - t0)
+
+    sec_per_frame = float(np.median(times))
+    rays_per_frame = cfg.n_iters_per_frame * (
+        N_ACTIVE_OBJECTS * cfg.n_rays_per_step + cfg.n_rays_per_step_bg
+    )
+    rays_per_sec = rays_per_frame / sec_per_frame
+
+    print(
+        json.dumps(
+            {
+                "metric": "train_rays_per_sec_per_chip",
+                "value": round(rays_per_sec, 1),
+                "unit": "rays/s",
+                "vs_baseline": round(rays_per_sec / REF_RAYS_PER_SEC, 2),
+                "detail": {
+                    "sec_per_frame": round(sec_per_frame, 4),
+                    "compile_s": round(compile_s, 1),
+                    "rays_per_frame": rays_per_frame,
+                    "point_evals_per_frame": rays_per_frame * 10,
+                    "objects": N_ACTIVE_OBJECTS,
+                    "device": str(jax.devices()[0]),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

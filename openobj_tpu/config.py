@@ -1,0 +1,138 @@
+"""Configuration: JSON scene configs with the reference schema.
+
+Reads the exact per-scene JSON layout the reference ships
+(/root/reference/objnerf/configs/Replica/room_0.json, parsed by cfg.py:8-114)
+and lowers it into the framework's typed pieces: a ``trainer.TrainConfig``
+(static jit config), a ``scene.Camera``, and dataset/runtime knobs.
+
+Derived quantities parity (reference cfg.py):
+  * H/W shrink by 2*margin (cfg.py:39-40); cx/cy shift by margin;
+  * keyframe steps divide by the frame stride (cfg.py:83-84);
+  * n_samples_per_frame = n_per_optim // win_size (cfg.py:78-81);
+  * depth_scale = 1/scale (cfg.py:31).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+from openobj_tpu.core.scene import Camera
+from openobj_tpu.core.trainer import TrainConfig
+
+
+@dataclass
+class SceneConfig:
+    train: TrainConfig
+    camera: Camera
+    dataset_format: str = "Replica"
+    dataset_dir: str = ""
+    start: int = 0
+    stride: int = 10
+    depth_scale: float = 1e-3
+    max_depth: float = 8.0
+    min_depth: float = 0.0
+    max_n_models: int = 100
+    keyframe_buffer_size: int = 20
+    keyframe_step: float = 25
+    keyframe_step_bg: float = 50
+    bg_ids: tuple = (0, 2, 3)
+    grid_dim: int = 128
+    live_voxel_size: float = 0.005
+    n_bins_fine_vis: int = 10
+    eps_fine_vis: float = 0.1
+    save_mesh: bool = True
+    save_pcd: bool = False
+    raw: dict = field(default_factory=dict)
+
+
+def load_scene_config(path: str) -> SceneConfig:
+    with open(path) as f:
+        c = json.load(f)
+
+    cam_c = c["camera"]
+    mh, mw = cam_c.get("mh", 0), cam_c.get("mw", 0)
+    h = cam_c["h"] - 2 * mh
+    w = cam_c["w"] - 2 * mw
+    fx = cam_c.get("fx")
+    if fx is None:
+        raise ValueError(
+            "camera intrinsics must be in the config (ScanNet intrinsic-file "
+            "loading lives in data.scannet)"
+        )
+    camera = Camera(
+        width=w, height=h, fx=cam_c["fx"], fy=cam_c["fy"],
+        cx=cam_c["cx"] - mw, cy=cam_c["cy"] - mh,
+    )
+
+    tr, md, rd, opt = c["trainer"], c["model"], c["render"], c["optimizer"]["args"]
+    stride = tr.get("stride", 1)
+    part_mode = bool(tr.get("part_mode", 0))
+
+    train = TrainConfig(
+        n_iters_per_frame=rd["iters_per_frame"],
+        win_size=md["window_size"],
+        n_samples_per_frame=rd["n_per_optim"] // md["window_size"],
+        win_size_bg=md["window_size_bg"],
+        n_samples_per_frame_bg=rd["n_per_optim_bg"] // md["window_size_bg"],
+        n_bins_cam2surface=rd["n_bins_cam2surface"],
+        n_bins_cam2surface_bg=rd["n_bins_cam2surface_bg"],
+        n_bins=rd["n_bins"],
+        surface_eps=md["surface_eps"],
+        stop_eps=md["other_eps"],
+        min_depth=rd["depth_range"][0],
+        learning_rate=opt["lr"],
+        weight_decay=opt["weight_decay"],
+        color_scaling=md.get("color_scaling", 5.0),
+        opacity_scaling=md.get("opacity_scaling", 10.0),
+        part_mode=part_mode,
+        part_down=tr.get("part_down", 5),
+        hidden=md["hidden_feature_size"],
+        hidden_bg=md["hidden_feature_size_bg"],
+        clip_size=md["clip_point_feature_size"],
+        max_deg=md["n_unidir_funcs"],
+        obj_scale=md["obj_scale"],
+        bg_scale=md["bg_scale"],
+        do_bg=bool(tr.get("do_bg", 1)),
+    )
+
+    vis = c.get("vis", {})
+    return SceneConfig(
+        train=train,
+        camera=camera,
+        dataset_format=c["dataset"]["format"],
+        dataset_dir=c["dataset"]["path"],
+        start=tr.get("start", 0),
+        stride=stride,
+        depth_scale=1.0 / tr.get("scale", 1000.0),
+        max_depth=rd["depth_range"][1],
+        min_depth=rd["depth_range"][0],
+        max_n_models=tr.get("n_models", 100),
+        keyframe_buffer_size=md["keyframe_buffer_size"],
+        keyframe_step=md["keyframe_step"] / stride,
+        keyframe_step_bg=md["keyframe_step_bg"] / stride,
+        bg_ids=tuple(vis.get("bg_id", (0, 2, 3))),
+        grid_dim=vis.get("grid_dim", 128),
+        live_voxel_size=vis.get("live_voxel_size", 0.005),
+        n_bins_fine_vis=vis.get("n_bins_fine_vis", 10),
+        eps_fine_vis=vis.get("eps_fine_vis", 0.1),
+        save_mesh=bool(vis.get("save_mesh", 1)),
+        save_pcd=bool(vis.get("save_pcd", 0)),
+        raw=c,
+    )
+
+
+def make_mapper(cfg: SceneConfig, frame_capacity: int | None = None, seed: int = 0):
+    """Build a SceneMapper from a SceneConfig."""
+    from openobj_tpu.core.scene import SceneMapper
+
+    return SceneMapper(
+        cfg.camera, cfg.train,
+        frame_capacity=frame_capacity or 256,
+        max_objects=cfg.max_n_models,
+        keyframe_buffer_size=cfg.keyframe_buffer_size,
+        keyframe_step=cfg.keyframe_step,
+        keyframe_step_bg=cfg.keyframe_step_bg,
+        seed=seed,
+    )

@@ -1,0 +1,171 @@
+"""Per-object checkpoints + full training-state snapshots.
+
+The reference saves one .pth per object holding the MLP+PE state dicts,
+obj_id, the serialized oriented bbox, obj_scale, the stacked CLIP/caption
+observation features, and the semantic id
+(/root/reference/objnerf/vmap.py:556-602); the export/vis consumers
+(gen_map_vis.py:86-90) read those back. We keep that contract on .npz
+(flat key/value arrays — no pickled code), one file per object:
+``obj_<id>.npz``.
+
+Beyond parity, ``save_scene`` / ``load_scene`` snapshot the WHOLE mapper
+(stacked params + optimizer + keyframe tables) so training can actually
+resume — the reference cannot (SURVEY.md §5: no optimizer state saved).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def _flatten(tree, prefix: str):
+    flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+    out = {}
+    for path, leaf in flat:
+        key = prefix + "/".join(str(getattr(p, "key", p)) for p in path)
+        out[key] = np.asarray(leaf)
+    return out
+
+
+def _unflatten(files: dict, prefix: str, template):
+    flat, treedef = jax.tree_util.tree_flatten_with_path(template)
+    leaves = []
+    for path, leaf in flat:
+        key = prefix + "/".join(str(getattr(p, "key", p)) for p in path)
+        leaves.append(jnp.asarray(files[key], dtype=leaf.dtype))
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def save_object_checkpoint(
+    path: str,
+    obj_id: int,
+    params: dict,
+    obj_scale: float,
+    bbox3d=None,            # utils.geometry.OrientedBox | None
+    obj_center=None,
+    clip_feats: np.ndarray | None = None,
+    caption_feats: np.ndarray | None = None,
+    semantic_id: int | None = None,
+):
+    """One object's field + metadata (reference save_checkpoints contract,
+    vmap.py:556-576)."""
+    data = _flatten(params, "params/")
+    data["obj_id"] = np.asarray(obj_id, np.int32)
+    data["obj_scale"] = np.asarray(obj_scale, np.float32)
+    data["obj_center"] = np.asarray(
+        obj_center if obj_center is not None else np.zeros(3), np.float32
+    )
+    if bbox3d is not None:
+        data["bbox_center"] = np.asarray(bbox3d.center, np.float32)
+        data["bbox_r"] = np.asarray(bbox3d.r, np.float32)
+        data["bbox_extent"] = np.asarray(bbox3d.extent, np.float32)
+    if clip_feats is not None:
+        data["clip_feats"] = np.asarray(clip_feats, np.float32)
+    if caption_feats is not None:
+        data["caption_feats"] = np.asarray(caption_feats, np.float32)
+    if semantic_id is not None:
+        data["semantic_id"] = np.asarray(semantic_id, np.int32)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.savez_compressed(path, **data)
+
+
+def load_object_checkpoint(path: str, params_template: dict) -> dict:
+    """Returns {obj_id, params, obj_scale, obj_center, bbox (OrientedBox |
+    None), clip_feats, caption_feats, semantic_id}."""
+    from openobj_tpu.utils.geometry import OrientedBox
+
+    z = np.load(path)
+    out = {
+        "obj_id": int(z["obj_id"]),
+        "obj_scale": float(z["obj_scale"]),
+        "obj_center": z["obj_center"],
+        "params": _unflatten(z, "params/", params_template),
+        "bbox": None,
+        "clip_feats": z["clip_feats"] if "clip_feats" in z else None,
+        "caption_feats": z["caption_feats"] if "caption_feats" in z else None,
+        "semantic_id": int(z["semantic_id"]) if "semantic_id" in z else None,
+    }
+    if "bbox_center" in z:
+        out["bbox"] = OrientedBox(
+            center=z["bbox_center"].astype(np.float64),
+            r=z["bbox_r"].astype(np.float64),
+            extent=z["bbox_extent"].astype(np.float64),
+        )
+    return out
+
+
+def save_scene(dirpath: str, mapper) -> None:
+    """Full resumable snapshot of a SceneMapper's device + host state."""
+    os.makedirs(dirpath, exist_ok=True)
+    st = mapper.state
+    data = {}
+    data.update(_flatten(st.fg_params, "fg_params/"))
+    data.update(_flatten(st.fg_opt.mu, "fg_mu/"))
+    data.update(_flatten(st.fg_opt.nu, "fg_nu/"))
+    data["fg_count"] = np.asarray(st.fg_opt.count)
+    if st.bg_params is not None:
+        data.update(_flatten(st.bg_params, "bg_params/"))
+        data.update(_flatten(st.bg_opt.mu, "bg_mu/"))
+        data.update(_flatten(st.bg_opt.nu, "bg_nu/"))
+        data["bg_count"] = np.asarray(st.bg_opt.count)
+    r = mapper.registry
+    data["kf_frames"] = r.kf_frames
+    data["kf_bbox"] = r.kf_bbox
+    data["n_kf"] = r.n_kf
+    data["latest2"] = r.latest2
+    data["active"] = r.active
+    data["obj_inst"] = r.obj_inst
+    data["slot_inst_ids"] = np.asarray(
+        [r.slots[s].inst_id for s in sorted(r.slots)], np.int64
+    )
+    np.savez_compressed(os.path.join(dirpath, "scene_state.npz"), **data)
+
+
+def load_scene(dirpath: str, mapper) -> None:
+    """Restore a save_scene snapshot into a freshly-constructed mapper with
+    the same config (device state + keyframe tables; per-slot host policy
+    counters resume approximately: frame counts restart)."""
+    from openobj_tpu.core import optim, trainer
+    from openobj_tpu.core.registry import SlotState
+
+    z = np.load(os.path.join(dirpath, "scene_state.npz"))
+    n_slots = z["fg_count"].shape[0]
+    if mapper.state.n_slots != n_slots:
+        mapper.state = trainer.grow_train_state(
+            jax.random.PRNGKey(0), mapper.state, mapper.cfg, n_slots
+        )
+    st = mapper.state
+    fg_params = _unflatten(z, "fg_params/", st.fg_params)
+    fg_opt = optim.AdamWState(
+        mu=_unflatten(z, "fg_mu/", st.fg_opt.mu),
+        nu=_unflatten(z, "fg_nu/", st.fg_opt.nu),
+        count=jnp.asarray(z["fg_count"]),
+    )
+    bg_params, bg_opt = st.bg_params, st.bg_opt
+    if st.bg_params is not None and "bg_count" in z:
+        bg_params = _unflatten(z, "bg_params/", st.bg_params)
+        bg_opt = optim.AdamWState(
+            mu=_unflatten(z, "bg_mu/", st.bg_opt.mu),
+            nu=_unflatten(z, "bg_nu/", st.bg_opt.nu),
+            count=jnp.asarray(z["bg_count"]),
+        )
+    mapper.state = trainer.TrainState(fg_params, fg_opt, bg_params, bg_opt)
+
+    r = mapper.registry
+    r.kf_frames[:] = z["kf_frames"]
+    r.kf_bbox[:] = z["kf_bbox"]
+    r.n_kf[:] = z["n_kf"]
+    r.latest2[:] = z["latest2"]
+    r.active[:] = z["active"]
+    r.obj_inst[:] = z["obj_inst"]
+    for slot, inst_id in enumerate(z["slot_inst_ids"]):
+        inst_id = int(inst_id)
+        stt = SlotState(inst_id, is_bg=False)
+        stt.n_kf = int(r.n_kf[slot])
+        stt.latest = [int(x) for x in r.latest2[slot]]
+        r.slots[slot] = stt
+        r.inst_to_slot[inst_id] = slot

@@ -37,12 +37,16 @@ def _trainable(path: tuple) -> bool:
 
 
 def init_adamw_state(params: dict, n_slots: int | None = None) -> AdamWState:
-    zeros = jax.tree.map(jnp.zeros_like, params)
+    # mu and nu must be DISTINCT buffers (donation breaks on aliased args)
     count = (
         jnp.zeros((n_slots,), jnp.int32) if n_slots is not None
         else jnp.zeros((), jnp.int32)
     )
-    return AdamWState(mu=zeros, nu=zeros, count=count)
+    return AdamWState(
+        mu=jax.tree.map(jnp.zeros_like, params),
+        nu=jax.tree.map(jnp.zeros_like, params),
+        count=count,
+    )
 
 
 def adamw_update(

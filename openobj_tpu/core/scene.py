@@ -1,0 +1,204 @@
+"""SceneMapper — the incremental multi-object mapping runtime.
+
+This is the TPU-native counterpart of the reference's train.py main loop
+(/root/reference/objnerf/train.py:158-485): frames stream in, objects are
+registered into preallocated slots, and each frame triggers ONE jitted
+device program (sampling + n_iters optimizer steps — core.trainer). Python
+touches only: the frame append, per-object bbox extraction, the host
+keyframe policy (core.registry), and slot allocation.
+
+The stacked object axis grows in power-of-two buckets (8, 16, 32, ...), so a
+new object recompiles nothing within a bucket and the whole run compiles at
+most log2(max_objects/8)+1 variants of the train step.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from openobj_tpu.core import optim, trainer
+from openobj_tpu.core.frame_store import FrameStore, append_frame, init_frame_store
+from openobj_tpu.core.registry import ObjectRegistry
+from openobj_tpu.models import object_field
+from openobj_tpu.ops import sampling
+
+
+@dataclass(frozen=True)
+class Camera:
+    width: int
+    height: int
+    fx: float
+    fy: float
+    cx: float
+    cy: float
+
+    def ray_dirs(self) -> jnp.ndarray:
+        return sampling.camera_ray_dirs(
+            self.width, self.height, self.fx, self.fy, self.cx, self.cy
+        )
+
+
+def _next_bucket(n: int, lo: int = 8) -> int:
+    b = lo
+    while b < n:
+        b *= 2
+    return b
+
+
+class SceneMapper:
+    def __init__(
+        self,
+        camera: Camera,
+        cfg: trainer.TrainConfig,
+        frame_capacity: int = 256,
+        max_objects: int = 100,
+        keyframe_buffer_size: int = 20,
+        keyframe_step: float = 25,
+        keyframe_step_bg: float = 50,
+        seed: int = 0,
+        initial_bucket: int = 8,
+    ):
+        self.camera = camera
+        self.cfg = cfg
+        self.max_objects = max_objects
+        self.cam_dirs = camera.ray_dirs()
+        self.store: FrameStore = init_frame_store(
+            frame_capacity, camera.height, camera.width,
+            part_feat_dim=cfg.clip_size if cfg.part_mode else 0,
+            part_down=cfg.part_down,
+        )
+        self.registry = ObjectRegistry(
+            max_objects=max_objects,
+            keyframe_buffer_size=keyframe_buffer_size,
+            keyframe_step=keyframe_step,
+            keyframe_step_bg=keyframe_step_bg,
+            do_bg=cfg.do_bg,
+            seed=seed,
+        )
+        self._key = jax.random.PRNGKey(seed)
+        self._key, k0 = jax.random.split(self._key)
+        self.state = trainer.init_train_state(k0, cfg, n_slots=initial_bucket)
+        self.frame_count = 0
+        self.loss_history: list[float] = []
+
+    # ------------------------------------------------------------------ #
+
+    def _split(self) -> jax.Array:
+        self._key, k = jax.random.split(self._key)
+        return k
+
+    def _ensure_capacity(self, n_objects: int):
+        if n_objects <= self.state.n_slots:
+            return
+        bucket = _next_bucket(n_objects)
+        self.state = trainer.grow_train_state(
+            self._split(), self.state, self.cfg, bucket
+        )
+
+    def _allocate_new_slots(self, slots: list[int]):
+        """Fresh params + zeroed optimizer state for reused/new slots."""
+        for slot in slots:
+            p = object_field.init_field_params(
+                self._split(), hidden=self.cfg.hidden,
+                clip_size=self.cfg.clip_size, scale=self.cfg.obj_scale,
+                max_deg=self.cfg.max_deg,
+            )
+            self.state.fg_params = object_field.write_slot(
+                self.state.fg_params, slot, p
+            )
+            self.state.fg_opt = optim.reset_slot(self.state.fg_opt, slot)
+
+    def _fg_tables_device(self) -> dict:
+        n = self.state.n_slots
+        r = self.registry
+        centers = np.zeros((self.max_objects, 3), np.float32)
+        for slot, st in r.slots.items():
+            centers[slot] = st.obj_center
+        return {
+            "kf_frames": jnp.asarray(r.kf_frames[:n]),
+            "kf_bbox": jnp.asarray(r.kf_bbox[:n]),
+            "n_kf": jnp.asarray(r.n_kf[:n]),
+            "latest2": jnp.asarray(r.latest2[:n]),
+            "active": jnp.asarray(r.active[:n]),
+            "obj_inst": jnp.asarray(r.obj_inst[:n]),
+            "obj_center": jnp.asarray(centers[:n]),
+        }
+
+    def _bg_tables_device(self) -> dict:
+        t = self.registry.bg_tables()
+        return {
+            "kf_frames": jnp.asarray(t["kf_frames"]),
+            "kf_bbox": jnp.asarray(t["kf_bbox"]),
+            "n_kf": jnp.asarray(t["n_kf"]),
+            "latest2": jnp.asarray(t["latest2"]),
+        }
+
+    # ------------------------------------------------------------------ #
+
+    def process_frame(
+        self,
+        rgb: np.ndarray,           # [H, W, 3] uint8
+        depth: np.ndarray,         # [H, W] float32 meters (0 = invalid)
+        inst: np.ndarray,          # [H, W] int32 global instance ids, -1 unknown
+        t_wc: np.ndarray,          # [4, 4]
+        bboxes: dict[int, tuple] | None = None,
+        partfeat: np.ndarray | None = None,
+        obj_clip: dict[int, np.ndarray] | None = None,
+        obj_cap: dict[int, np.ndarray] | None = None,
+        obj_caption: dict[int, str] | None = None,
+        train: bool = True,
+    ):
+        """Ingest one posed RGB-D frame and run one frame's optimization.
+        Returns the per-iteration loss vector (or None if train=False)."""
+        from openobj_tpu.data.transforms import instance_bboxes
+
+        self.store, frame_idx = append_frame(
+            self.store, rgb, depth, inst, t_wc, partfeat
+        )
+        if bboxes is None:
+            bboxes = instance_bboxes(np.asarray(inst))
+        for oid, bbox in bboxes.items():
+            self.registry.observe_object(
+                oid, frame_idx, np.asarray(bbox, np.float32),
+                clip_feat=(obj_clip or {}).get(oid),
+                caption_feat=(obj_cap or {}).get(oid),
+                caption=(obj_caption or {}).get(oid),
+            )
+        new_slots = self.registry.pop_new_slots()
+        self._ensure_capacity(self.registry.n_objects)
+        self._allocate_new_slots(new_slots)
+        self.frame_count += 1
+
+        if not train or (self.registry.n_objects == 0 and not self.registry.bg_seen):
+            return None
+
+        losses = self._train_once()
+        self.loss_history.append(float(losses[-1]))
+        return losses
+
+    def _train_once(self):
+        fg_tables = self._fg_tables_device()
+        bg_tables = self._bg_tables_device() if self.cfg.do_bg else None
+        self.state, losses = trainer.train_frame(
+            self.state, self.store, self.cam_dirs,
+            fg_tables, bg_tables, self._split(), self.cfg,
+        )
+        return np.asarray(losses)
+
+    # ------------------------------------------------------------------ #
+
+    @property
+    def n_objects(self) -> int:
+        return self.registry.n_objects
+
+    def slot_params(self, slot: int) -> dict:
+        return object_field.slice_slot(self.state.fg_params, slot)
+
+    def params_for_instance(self, inst_id: int) -> dict:
+        if self.cfg.do_bg and inst_id == 0:
+            return self.state.bg_params
+        return self.slot_params(self.registry.inst_to_slot[inst_id])

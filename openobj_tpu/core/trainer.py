@@ -1,0 +1,348 @@
+"""The jitted incremental-mapping training step.
+
+The reference's per-frame loop (/root/reference/objnerf/train.py:158-485)
+is Python all the way down: per-object sampling loops, functorch re-stacking,
+100 optimizer steps each launching dozens of kernels. Here the ENTIRE
+per-frame computation — keyframe draws, pixel sampling, 3-mode z lattices,
+the 100-step optimization — is one jitted function (`train_frame`): sampling
+is vmapped over the stacked object axis, and the optimizer steps run under
+``lax.scan``, so a frame is a single XLA program with zero host round trips.
+
+Workload-shape parity (configs/Replica/room_0.json):
+  * per frame, per object: iters(100) x win(5) keyframe draws x 24 pixels
+    = 12000 rays, of which each optimizer step consumes a 120-ray slice
+    (train.py:299-332,394-404);
+  * background: iters x win_bg(10) draws x 120 pixels = 120000 rays,
+    1200-ray slices, its own wider MLP (train.py:300-315,447-463);
+  * fg z: 1 cam->surface + 9 surface bins; bg: 5 + 9 (room_0.json:31-33);
+  * one AdamW over everything, lr 1e-3, wd 0.013 (train.py:78).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from openobj_tpu.core import optim
+from openobj_tpu.core.frame_store import FrameStore
+from openobj_tpu.models import object_field
+from openobj_tpu.ops import losses, sampling
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Static (hashable) training configuration; defaults = Replica room_0."""
+    n_iters_per_frame: int = 100
+    win_size: int = 5
+    n_samples_per_frame: int = 24          # rays per keyframe draw (fg)
+    win_size_bg: int = 10
+    n_samples_per_frame_bg: int = 120
+    n_bins_cam2surface: int = 1
+    n_bins_cam2surface_bg: int = 5
+    n_bins: int = 9
+    surface_eps: float = 0.1
+    stop_eps: float = 0.05
+    min_depth: float = 0.0
+    learning_rate: float = 1e-3
+    weight_decay: float = 0.013
+    color_scaling: float = 5.0
+    opacity_scaling: float = 10.0
+    partfeat_scaling: float = 5.0
+    part_mode: bool = False
+    part_down: int = 5
+    hidden: int = 32
+    hidden_bg: int = 128
+    clip_size: int = 512
+    max_deg: int = 5
+    obj_scale: float = 2.0
+    bg_scale: float = 5.0
+    do_bg: bool = True
+
+    @property
+    def n_rays_per_step(self) -> int:
+        return self.win_size * self.n_samples_per_frame        # 120
+
+    @property
+    def n_rays_per_step_bg(self) -> int:
+        return self.win_size_bg * self.n_samples_per_frame_bg  # 1200
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class TrainState:
+    fg_params: dict          # stacked leaves [O, ...]
+    fg_opt: optim.AdamWState
+    bg_params: dict | None
+    bg_opt: optim.AdamWState | None
+
+    @property
+    def n_slots(self) -> int:
+        return jax.tree.leaves(self.fg_params)[0].shape[0]
+
+
+def init_train_state(key: jax.Array, cfg: TrainConfig, n_slots: int) -> TrainState:
+    k_fg, k_bg = jax.random.split(key)
+    fg = object_field.init_stacked_fields(
+        k_fg, n_slots, hidden=cfg.hidden, clip_size=cfg.clip_size,
+        scale=cfg.obj_scale, max_deg=cfg.max_deg, do_clip=cfg.part_mode or True,
+    )
+    bg = bg_opt = None
+    if cfg.do_bg:
+        bg = object_field.init_field_params(
+            k_bg, hidden=cfg.hidden_bg, clip_size=cfg.clip_size,
+            scale=cfg.bg_scale, max_deg=cfg.max_deg,
+        )
+        bg_opt = optim.init_adamw_state(bg, n_slots=None)
+    return TrainState(
+        fg_params=fg,
+        fg_opt=optim.init_adamw_state(fg, n_slots=n_slots),
+        bg_params=bg,
+        bg_opt=bg_opt,
+    )
+
+
+def grow_train_state(
+    key: jax.Array, state: TrainState, cfg: TrainConfig, new_n_slots: int
+) -> TrainState:
+    """Pad the stacked fg axis with freshly-initialized slots (bucket growth;
+    happens O(log) times per run — objects appearing within a bucket cost
+    nothing)."""
+    old = state.n_slots
+    extra = object_field.init_stacked_fields(
+        key, new_n_slots - old, hidden=cfg.hidden, clip_size=cfg.clip_size,
+        scale=cfg.obj_scale, max_deg=cfg.max_deg,
+    )
+    fg = jax.tree.map(
+        lambda a, b: jnp.concatenate([a, b], axis=0), state.fg_params, extra
+    )
+    pad0 = jax.tree.map(
+        lambda a: jnp.concatenate(
+            [a, jnp.zeros((new_n_slots - old, *a.shape[1:]), a.dtype)], axis=0
+        ),
+        state.fg_opt.mu,
+    )
+    pad1 = jax.tree.map(
+        lambda a: jnp.concatenate(
+            [a, jnp.zeros((new_n_slots - old, *a.shape[1:]), a.dtype)], axis=0
+        ),
+        state.fg_opt.nu,
+    )
+    count = jnp.concatenate(
+        [state.fg_opt.count, jnp.zeros((new_n_slots - old,), jnp.int32)]
+    )
+    return TrainState(
+        fg_params=fg,
+        fg_opt=optim.AdamWState(mu=pad0, nu=pad1, count=count),
+        bg_params=state.bg_params,
+        bg_opt=state.bg_opt,
+    )
+
+
+# --------------------------------------------------------------------------- #
+# sampling
+# --------------------------------------------------------------------------- #
+
+
+def _sample_one_object(
+    key: jax.Array,
+    store: FrameStore,
+    cam_dirs: jnp.ndarray,     # [H, W, 3]
+    kf_frames: jnp.ndarray,    # [K] frame indices
+    kf_bbox: jnp.ndarray,      # [K, 4] (r0, r1, c0, c1) half-open
+    n_kf: jnp.ndarray,         # [] int32
+    latest2: jnp.ndarray,      # [2] keyframe-slot indices
+    obj_inst: jnp.ndarray,     # [] instance id ("this" pixels)
+    obj_center: jnp.ndarray,   # [3]
+    n_draws: int,
+    n_px: int,
+    n_bins_c2s: int,
+    cfg: TrainConfig,
+):
+    """Draw (n_draws * n_px) training rays for one object and build the
+    fixed-shape z lattice (reference get_training_samples + sample_3d_points,
+    vmap.py:386-554)."""
+    k_kf, k_u, k_v, k_z = jax.random.split(key, 4)
+
+    n_kf_safe = jnp.maximum(n_kf, 1)
+    draws = jax.random.randint(k_kf, (n_draws,), 0, n_kf_safe)
+    # force the two most recent keyframes into the draw (vmap.py:390-412)
+    forced = jnp.concatenate([draws[:-2], latest2.astype(draws.dtype)])
+    draws = jnp.where(n_kf > 2, forced, draws)
+
+    frames = kf_frames[draws]                       # [D]
+    bbox = kf_bbox[draws]                           # [D, 4]
+    ru = jax.random.uniform(k_u, (n_draws, n_px))
+    rv = jax.random.uniform(k_v, (n_draws, n_px))
+    u = jnp.floor(ru * (bbox[:, 1:2] - bbox[:, 0:1]) + bbox[:, 0:1]).astype(jnp.int32)
+    v = jnp.floor(rv * (bbox[:, 3:4] - bbox[:, 2:3]) + bbox[:, 2:3]).astype(jnp.int32)
+
+    f = frames[:, None]                             # [D, 1]
+    rgb = store.rgb[f, u, v].astype(jnp.float32) / 255.0     # [D, n_px, 3]
+    depth = store.depth[f, u, v]                             # [D, n_px]
+    inst = store.inst[f, u, v]                               # [D, n_px]
+    state = jnp.where(
+        inst == obj_inst, sampling.STATE_THIS,
+        jnp.where(inst == -1, sampling.STATE_UNKNOWN, sampling.STATE_OTHER),
+    )
+
+    dirs_c = cam_dirs[u, v]                         # [D, n_px, 3]
+    t_wc = store.t_wc[frames]                       # [D, 4, 4]
+    origins, dirs_w = sampling.origin_dirs_w(t_wc[:, None], dirs_c)
+
+    z = sampling.sample_z_values(
+        k_z, depth, state, cfg.min_depth, n_bins_c2s, cfg.n_bins,
+        cfg.surface_eps, cfg.stop_eps,
+    )                                               # [D, n_px, P]
+    points = sampling.rays_to_points(origins, dirs_w, z, obj_center)
+
+    R = n_draws * n_px
+    P = n_bins_c2s + cfg.n_bins
+    batch = {
+        "rgb": rgb.reshape(R, 3),
+        "depth": depth.reshape(R),
+        "state": state.reshape(R),
+        "z": z.reshape(R, P),
+        "points": points.reshape(R, P, 3),
+    }
+    if cfg.part_mode and store.partfeat is not None:
+        pf = store.partfeat[f, u // cfg.part_down, v // cfg.part_down]
+        batch["partfeat"] = pf.reshape(R, -1).astype(jnp.float32)
+    return batch
+
+
+def sample_fg_batch(key, store, cam_dirs, tables, cfg: TrainConfig):
+    """Vmapped over the stacked object axis. tables leaves: [O, ...]."""
+    n_slots = tables["kf_frames"].shape[0]
+    keys = jax.random.split(key, n_slots)
+    n_draws = cfg.n_iters_per_frame * cfg.win_size
+    return jax.vmap(
+        lambda k, kf, bb, nk, l2, oi, oc: _sample_one_object(
+            k, store, cam_dirs, kf, bb, nk, l2, oi, oc,
+            n_draws, cfg.n_samples_per_frame, cfg.n_bins_cam2surface, cfg,
+        )
+    )(
+        keys, tables["kf_frames"], tables["kf_bbox"], tables["n_kf"],
+        tables["latest2"], tables["obj_inst"], tables["obj_center"],
+    )
+
+
+def sample_bg_batch(key, store, cam_dirs, bg_tables, cfg: TrainConfig):
+    n_draws = cfg.n_iters_per_frame * cfg.win_size_bg
+    return _sample_one_object(
+        key, store, cam_dirs,
+        bg_tables["kf_frames"], bg_tables["kf_bbox"], bg_tables["n_kf"],
+        bg_tables["latest2"], jnp.asarray(0, jnp.int32),
+        jnp.zeros(3, jnp.float32),
+        n_draws, cfg.n_samples_per_frame_bg, cfg.n_bins_cam2surface_bg, cfg,
+    )
+
+
+# --------------------------------------------------------------------------- #
+# the per-frame training program
+# --------------------------------------------------------------------------- #
+
+
+def _loss_for_slice(params, batch, active, cfg: TrainConfig, is_bg: bool):
+    """Forward + step_batch_loss on one iteration's ray slice."""
+    if is_bg:
+        pts = batch["points"][None]   # add object axis of 1
+        a, c, f = object_field.field_apply(
+            params, batch["points"], max_deg=cfg.max_deg, do_clip=cfg.part_mode
+        )
+        a, c = a[None], c[None]
+        f = f[None] if f is not None else None
+        gt_rgb, gt_d = batch["rgb"][None], batch["depth"][None]
+        state, z = batch["state"][None], batch["z"][None]
+        act = None
+        gt_pf = batch.get("partfeat")
+        gt_pf = gt_pf[None] if gt_pf is not None else None
+    else:
+        a, c, f = object_field.field_apply_stacked(
+            params, batch["points"], max_deg=cfg.max_deg, do_clip=cfg.part_mode
+        )
+        gt_rgb, gt_d = batch["rgb"], batch["depth"]
+        state, z = batch["state"], batch["z"]
+        act = active
+        gt_pf = batch.get("partfeat")
+
+    total, per_obj = losses.step_batch_loss(
+        a[..., 0], c, gt_d, gt_rgb, state, z,
+        active=act,
+        color_scaling=cfg.color_scaling,
+        opacity_scaling=cfg.opacity_scaling,
+        gt_partfeat=gt_pf if cfg.part_mode else None,
+        pred_partfeat=f if cfg.part_mode else None,
+        partfeat_scaling=cfg.partfeat_scaling,
+    )
+    return total, per_obj
+
+
+def _slice_batch(batch: dict, start: int, size: int, obj_axis: bool) -> dict:
+    ax = 1 if obj_axis else 0
+    return {
+        k: jax.lax.dynamic_slice_in_dim(v, start, size, axis=ax)
+        for k, v in batch.items()
+    }
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
+def train_frame(
+    state: TrainState,
+    store: FrameStore,
+    cam_dirs: jnp.ndarray,
+    fg_tables: dict,
+    bg_tables: dict | None,
+    key: jax.Array,
+    cfg: TrainConfig,
+):
+    """One frame's worth of incremental mapping: sample 12k rays/object +
+    120k bg rays once, then scan n_iters optimizer steps over ray slices.
+    Returns (new state, per-iter total losses [n_iters])."""
+    k_fg, k_bg, _ = jax.random.split(key, 3)
+    fg_batch = sample_fg_batch(k_fg, store, cam_dirs, fg_tables, cfg)
+    active = fg_tables["active"]
+    bg_batch = None
+    if cfg.do_bg and state.bg_params is not None:
+        bg_batch = sample_bg_batch(k_bg, store, cam_dirs, bg_tables, cfg)
+
+    rps, rps_bg = cfg.n_rays_per_step, cfg.n_rays_per_step_bg
+
+    def opt_step(carry, it):
+        st = carry
+        fg_sl = _slice_batch(fg_batch, it * rps, rps, obj_axis=True)
+        bg_sl = (
+            _slice_batch(bg_batch, it * rps_bg, rps_bg, obj_axis=False)
+            if bg_batch is not None else None
+        )
+
+        def loss_fn(ps):
+            total, _ = _loss_for_slice(ps["fg"], fg_sl, active, cfg, is_bg=False)
+            if bg_sl is not None:
+                bg_total, _ = _loss_for_slice(ps["bg"], bg_sl, None, cfg, is_bg=True)
+                total = total + bg_total
+            return total
+
+        params = {"fg": st.fg_params}
+        if bg_sl is not None:
+            params["bg"] = st.bg_params
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+
+        fg_p, fg_o = optim.adamw_update(
+            st.fg_params, grads["fg"], st.fg_opt,
+            lr=cfg.learning_rate, weight_decay=cfg.weight_decay, active=active,
+        )
+        bg_p, bg_o = st.bg_params, st.bg_opt
+        if bg_sl is not None:
+            bg_p, bg_o = optim.adamw_update(
+                st.bg_params, grads["bg"], st.bg_opt,
+                lr=cfg.learning_rate, weight_decay=cfg.weight_decay,
+            )
+        return TrainState(fg_p, fg_o, bg_p, bg_o), loss
+
+    state, losses_per_iter = jax.lax.scan(
+        opt_step, state, jnp.arange(cfg.n_iters_per_frame)
+    )
+    return state, losses_per_iter

@@ -1,0 +1,189 @@
+"""Pluggable perception encoders + precomputed-artifact loaders.
+
+The reference's per-frame perception models — CropFormer entity
+segmentation, TAP captioning + spaCy subject extraction, SBERT caption
+embedding, CLIP crop embedding, SAM automatic masks
+(/root/reference/maskclustering/mask_gen.py, partlevel/sam_clip_dir.py) —
+are pretrained third-party networks. This framework treats them as
+encoders behind small interfaces with three interchangeable backends:
+
+  1. ``Precomputed*`` — load the reference's artifact files verbatim
+     (mask_init_all.pkl contract, mask_gen.py:534-550) so the pipeline is
+     drop-in compatible with already-extracted data;
+  2. ``HFClipEncoder`` / ``HFSbertEncoder`` — live transformers-based
+     CLIP/SBERT (lazy; require local model weights — this container has no
+     egress);
+  3. test fakes (deterministic random projections) in tests/.
+
+Mask postprocessing that the reference does around CropFormer — score
+filtering, small-mask dropping, multi-component splitting via
+connected-components + pairwise min-distance + DBSCAN regrouping
+(mask_gen.py:107-209,284-338) — is first-party here (``split_mask``).
+"""
+
+from __future__ import annotations
+
+import pickle
+from dataclasses import dataclass
+
+import numpy as np
+
+try:
+    import cv2
+except Exception:  # pragma: no cover
+    cv2 = None
+
+
+# --------------------------------------------------------------------------- #
+# artifact loaders (the reference file contracts)
+# --------------------------------------------------------------------------- #
+
+
+def load_mask_init(path: str) -> dict:
+    """Load mask_init_all.pkl (mask_gen.py:534-550): dict of per-frame lists
+    'mask' (HxW bool), 'bbox', 'caption' (str), 'capfeat' (384-d), 'clipfeat'
+    (512-d)."""
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+def load_object_features(output_dir: str):
+    """Load the three association outputs object_{clipfeat,capfeat,caption}
+    .pkl (mask_graph.py:1268-1280): per-frame {global_id: feature}."""
+    import os
+
+    out = {}
+    for name in ("clipfeat", "capfeat", "caption"):
+        with open(os.path.join(output_dir, f"object_{name}.pkl"), "rb") as f:
+            out[name] = pickle.load(f)
+    return out
+
+
+def load_part_features(path: str) -> np.ndarray:
+    """Load a per-frame part-level CLIP map .npy (sam_clip_dir.py:133):
+    (H/down, W/down, 512) float."""
+    return np.load(path)
+
+
+# --------------------------------------------------------------------------- #
+# mask postprocessing (first-party, reference mask_gen.py:107-209)
+# --------------------------------------------------------------------------- #
+
+
+def split_mask(
+    mask: np.ndarray,
+    min_px: int = 100,
+    eps_factor: float = 0.1,
+) -> list[np.ndarray]:
+    """Split a multi-component mask into spatially-coherent submasks:
+    8-connected components, components < min_px dropped, then regrouped by
+    DBSCAN over pairwise minimum inter-component distances with
+    eps = (H + W) * eps_factor (mask_gen.py:139-209). Returns list of
+    submasks (possibly merging nearby components)."""
+    from scipy.spatial import cKDTree
+    from sklearn.cluster import DBSCAN
+
+    h, w = mask.shape
+    if cv2 is not None:
+        n, lab = cv2.connectedComponents(mask.astype(np.uint8), connectivity=8)
+        comps = [lab == i for i in range(1, n)]
+    else:
+        from scipy import ndimage
+
+        lab, n = ndimage.label(mask)
+        comps = [lab == i for i in range(1, n + 1)]
+    comps = [c for c in comps if c.sum() >= min_px]
+    if len(comps) <= 1:
+        return comps
+
+    pts = [np.argwhere(c) for c in comps]
+    k = len(comps)
+    dist = np.zeros((k, k))
+    for i in range(k):
+        tree = cKDTree(pts[i])
+        for j in range(i + 1, k):
+            d = tree.query(pts[j], k=1)[0].min()
+            dist[i, j] = dist[j, i] = d
+    eps = (h + w) * eps_factor
+    labels = DBSCAN(eps=eps, min_samples=1, metric="precomputed").fit_predict(dist)
+    out = []
+    for g in np.unique(labels):
+        m = np.zeros((h, w), bool)
+        for c, l in zip(comps, labels):
+            if l == g:
+                m |= c
+        out.append(m)
+    return out
+
+
+def crop_with_padding(image: np.ndarray, bbox, pad: int = 20) -> np.ndarray:
+    """Padded bbox crop for CLIP (mask_gen.py:477-529). bbox (r0, r1, c0, c1)."""
+    h, w = image.shape[:2]
+    r0, r1, c0, c1 = bbox
+    return image[max(0, r0 - pad) : min(h, r1 + pad),
+                 max(0, c0 - pad) : min(w, c1 + pad)]
+
+
+# --------------------------------------------------------------------------- #
+# live encoders (lazy, optional weights)
+# --------------------------------------------------------------------------- #
+
+
+@dataclass
+class HFClipEncoder:
+    """CLIP ViT-B/32 image+text encoder on transformers (the reference's
+    `clip.load("ViT-B/32")`, mask_gen.py:477, train.py:135). Requires local
+    weights — pass a local path as model_name in an egress-less env."""
+
+    model_name: str = "openai/clip-vit-base-patch32"
+
+    def __post_init__(self):
+        from transformers import CLIPModel, CLIPProcessor
+
+        self.model = CLIPModel.from_pretrained(self.model_name)
+        self.processor = CLIPProcessor.from_pretrained(self.model_name)
+
+    def encode_images(self, images: list[np.ndarray]) -> np.ndarray:
+        import torch
+
+        inputs = self.processor(images=images, return_tensors="pt")
+        with torch.no_grad():
+            f = self.model.get_image_features(**inputs)
+        f = f / f.norm(dim=-1, keepdim=True)
+        return f.numpy()
+
+    def encode_texts(self, texts: list[str]) -> np.ndarray:
+        import torch
+
+        inputs = self.processor(text=texts, return_tensors="pt", padding=True)
+        with torch.no_grad():
+            f = self.model.get_text_features(**inputs)
+        f = f / f.norm(dim=-1, keepdim=True)
+        return f.numpy()
+
+
+@dataclass
+class HFSbertEncoder:
+    """all-MiniLM-L6-v2 sentence encoder (the reference's SBERT,
+    train.py:143). Mean-pooled, L2-normalized 384-d."""
+
+    model_name: str = "sentence-transformers/all-MiniLM-L6-v2"
+
+    def __post_init__(self):
+        from transformers import AutoModel, AutoTokenizer
+
+        self.tokenizer = AutoTokenizer.from_pretrained(self.model_name)
+        self.model = AutoModel.from_pretrained(self.model_name)
+
+    def encode_texts(self, texts: list[str]) -> np.ndarray:
+        import torch
+
+        inputs = self.tokenizer(
+            texts, padding=True, truncation=True, return_tensors="pt"
+        )
+        with torch.no_grad():
+            out = self.model(**inputs).last_hidden_state
+        mask = inputs["attention_mask"][..., None].float()
+        emb = (out * mask).sum(1) / mask.sum(1)
+        emb = emb / emb.norm(dim=-1, keepdim=True)
+        return emb.numpy()

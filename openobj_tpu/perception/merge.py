@@ -1,0 +1,214 @@
+"""Global merge + id mapping + artifact export.
+
+Parity with the reference's post-clustering stages
+(/root/reference/maskclustering/mask_graph.py:1105-1280):
+
+  * per-cluster global point clouds accumulated and 1 cm voxel-downsampled;
+  * per-observation caption features overridden by canonical wall/floor/
+    ceiling features when SBERT similarity > cap_thre (or, with GT
+    semantics, by the mask's majority GT id — :1111-1173);
+  * per-cluster caption feature = DBSCAN majority-cluster mean, normalized
+    (:1181-1184); color histogram = normalized mean (:1185-1187);
+  * second-stage merge via ``compute_similarity_matrix_thre`` (:820-895):
+    clusters merge when point-overlap ratio > weight_pc AND caption cos >
+    weightcaption AND color cos > weightcolor, OR overlap > 0.9; wall/
+    floor/ceiling captions map to reserved ids 1/2/3; everything else
+    numbered from 4; junk (999) -> 0;
+  * writers for the instance/class PNGs and the three per-frame feature
+    pickles (:1240-1280) — the data contracts the NeRF stage consumes.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+
+import numpy as np
+from scipy.spatial import cKDTree
+
+from openobj_tpu.perception.graph import JUNK_ID
+from openobj_tpu.perception.projection import dbscan_largest_cluster
+from openobj_tpu.utils.geometry import voxel_downsample
+
+RESERVED = {"wall": 1, "floor": 2, "ceiling": 3}
+
+
+def check_similarity(feats: np.ndarray, feat: np.ndarray, threshold: float = 0.8):
+    """Any row of ``feats`` with cos > threshold (mask_graph.py:737-745)."""
+    if feats is None or len(feats) == 0:
+        return False
+    return bool((np.asarray(feats) @ np.asarray(feat) > threshold).any())
+
+
+def majority_cluster_mean(vectors: np.ndarray, eps: float = 0.2,
+                          min_samples: int = 2) -> np.ndarray:
+    """DBSCAN majority-cluster mean (mask_graph.py:604-619 /
+    objnerf utils.py:138-155). Noise label (-1) competes like any other."""
+    from sklearn.cluster import DBSCAN
+
+    labels = DBSCAN(eps=eps, min_samples=min_samples).fit_predict(vectors)
+    uniq, counts = np.unique(labels, return_counts=True)
+    major = uniq[np.argmax(counts)]
+    return vectors[labels == major].mean(axis=0)
+
+
+class GlobalClusters:
+    """Per-cluster accumulated evidence across the sequence."""
+
+    def __init__(self, bg_feats: dict[str, np.ndarray], cap_thre: float = 0.8):
+        self.bg_feats = bg_feats  # {"wall": [K,384], "floor": ..., "ceiling": ...}
+        self.cap_thre = cap_thre
+        self.points: dict[int, list] = {}
+        self.capft: dict[int, list] = {}
+        self.color: dict[int, list] = {}
+
+    def _canonical_capft(self, capft: np.ndarray, gt_sem: str | None):
+        if gt_sem in self.bg_feats:
+            return self.bg_feats[gt_sem][0]
+        if gt_sem is None:
+            for name, fts in self.bg_feats.items():
+                if check_similarity(fts, capft, self.cap_thre):
+                    return fts[0]
+        return capft
+
+    def add(self, cluster_id: int, points: np.ndarray, capft: np.ndarray,
+            color_hist: np.ndarray, gt_sem: str | None = None):
+        if cluster_id == JUNK_ID:
+            return
+        self.points.setdefault(cluster_id, []).append(points)
+        self.capft.setdefault(cluster_id, []).append(
+            self._canonical_capft(capft, gt_sem)
+        )
+        self.color.setdefault(cluster_id, []).append(color_hist)
+
+    def finalize(self, voxel: float = 0.01):
+        """Returns {id: pts}, {id: capft-384}, {id: color-96} reduced."""
+        pcs, caps, cols = {}, {}, {}
+        for cid in self.points:
+            pcs[cid] = voxel_downsample(
+                np.concatenate(self.points[cid]).astype(np.float64), voxel
+            )
+            ft = np.stack(self.capft[cid])
+            f = majority_cluster_mean(ft) if ft.shape[0] > 1 else ft[0]
+            caps[cid] = f / max(np.linalg.norm(f), 1e-12)
+            c = np.stack(self.color[cid]).mean(0)
+            cols[cid] = c / max(np.linalg.norm(c), 1e-12)
+        return pcs, caps, cols
+
+
+def overlap_ratio(pc1: np.ndarray, pc2: np.ndarray, dis_thre: float = 0.02):
+    """max of (fraction of pc1 within dis_thre of pc2, vice versa)
+    (open3d compute_point_cloud_distance parity, mask_graph.py:839-845)."""
+    if len(pc1) == 0 or len(pc2) == 0:
+        return 0.0
+    d12 = cKDTree(pc2).query(pc1, k=1)[0]
+    d21 = cKDTree(pc1).query(pc2, k=1)[0]
+    return float(max((d12 < dis_thre).mean(), (d21 < dis_thre).mean()))
+
+
+def second_stage_mapping(
+    pcs: dict, caps: dict, cols: dict, bg_feats: dict,
+    cap_thre: float = 0.8, dis_thre: float = 0.02,
+    weight_pc: float = 0.7, weight_caption: float = 0.7, weight_color: float = 0.7,
+):
+    """compute_similarity_matrix_thre parity (mask_graph.py:820-895).
+    Returns (mapping {cluster_id: final_id}, next_free_id)."""
+    keys = list(pcs.keys())
+    n = len(keys)
+    pc_l = [pcs[k] for k in keys]
+    cap_l = [caps[k] for k in keys]
+    col_l = [cols[k] for k in keys]
+
+    sim_pc = np.zeros((n, n))
+    sim_cap = np.zeros((n, n))
+    sim_col = np.zeros((n, n))
+    for i in range(n):
+        for j in range(i + 1, n):
+            sim_pc[i, j] = sim_pc[j, i] = overlap_ratio(pc_l[i], pc_l[j], dis_thre)
+            sim_cap[i, j] = sim_cap[j, i] = float(cap_l[i] @ cap_l[j])
+            sim_col[i, j] = sim_col[j, i] = float(col_l[i] @ col_l[j])
+    merge = (
+        (sim_pc > weight_pc) & (sim_cap > weight_caption) & (sim_col > weight_color)
+    ) | (sim_pc > 0.9)
+
+    def bg_id_of(i):
+        for name, rid in RESERVED.items():
+            if check_similarity(bg_feats.get(name), cap_l[i], cap_thre):
+                return rid
+        return None
+
+    mapping: dict[int, int] = {}
+    counter = 4
+    for i in range(n):
+        for j in range(i + 1, n):
+            bi = bg_id_of(i)
+            if bi is not None:
+                mapping[keys[i]] = bi
+                continue
+            bj = bg_id_of(j)
+            if bj is not None:
+                mapping[keys[j]] = bj
+                continue
+            if merge[i, j]:
+                if keys[i] not in mapping:
+                    mapping[keys[i]] = counter
+                    counter += 1
+                if keys[j] not in mapping:
+                    mapping[keys[j]] = mapping[keys[i]]
+    # singletons keep checking bg too (loop above skips i==n-1 pairs edge)
+    for i in range(n):
+        if keys[i] not in mapping:
+            bi = bg_id_of(i)
+            if bi is not None:
+                mapping[keys[i]] = bi
+            else:
+                mapping[keys[i]] = counter
+                counter += 1
+    mapping[JUNK_ID] = 0
+    return mapping, counter
+
+
+def write_artifacts(
+    output_dir: str,
+    frame_masks: list[list[np.ndarray]],     # filtered masks per frame
+    frame_final_ids: list[list[int]],        # final global id per mask
+    frame_clipft: list[list[np.ndarray]],
+    frame_capft: list[list[np.ndarray]],
+    frame_caps: list[list[str]],
+    image_hw: tuple[int, int],
+):
+    """Write the reference data contracts (mask_graph.py:1240-1280):
+    class_our/semantic_class_<i>.png and instance_our/semantic_instance_<i>.png
+    (identical int32 id images) + object_{clipfeat,capfeat,caption}.pkl
+    (per-frame {global_id: feature})."""
+    import cv2
+
+    h, w = image_hw
+    dir_class = os.path.join(output_dir, "class_our")
+    dir_inst = os.path.join(output_dir, "instance_our")
+    os.makedirs(dir_class, exist_ok=True)
+    os.makedirs(dir_inst, exist_ok=True)
+    all_clip, all_cap, all_caption = [], [], []
+    for i, (masks, ids) in enumerate(zip(frame_masks, frame_final_ids)):
+        inst_img = np.zeros((h, w), np.int32)
+        clip_d, capft_d, cap_d = {}, {}, {}
+        for j, (mask, gid) in enumerate(zip(masks, ids)):
+            if gid != 0:
+                inst_img[mask] = gid
+                clip_d[gid] = frame_clipft[i][j]
+                capft_d[gid] = frame_capft[i][j]
+                cap_d[gid] = frame_caps[i][j]
+        cv2.imwrite(os.path.join(dir_class, f"semantic_class_{i}.png"),
+                    inst_img.astype(np.uint16))
+        cv2.imwrite(os.path.join(dir_inst, f"semantic_instance_{i}.png"),
+                    inst_img.astype(np.uint16))
+        all_clip.append(clip_d)
+        all_cap.append(capft_d)
+        all_caption.append(cap_d)
+    for name, data in (
+        ("object_clipfeat.pkl", all_clip),
+        ("object_capfeat.pkl", all_cap),
+        ("object_caption.pkl", all_caption),
+    ):
+        with open(os.path.join(output_dir, name), "wb") as f:
+            pickle.dump(data, f)

@@ -1,0 +1,175 @@
+"""The cross-frame instance-association pipeline (mask_graph equivalent).
+
+End-to-end driver with the reference's stage order
+(/root/reference/maskclustering/mask_graph.py:897-1280):
+
+  frames of (masks, captions, capfeats, clipfeats) + posed RGB-D
+    -> project_masks (3D evidence, mask filtering)
+    -> 5 similarity matrices (3D IoU, caption, CLIP, color, projected 2D IoU)
+    -> weighted graph + Louvain -> junk filter (<= frames/50)
+    -> global cluster accumulation w/ bg caption anchoring
+    -> second-stage merge -> final global ids (1/2/3 reserved, 4+ objects,
+       junk -> 0)
+    -> instance/class PNGs + per-frame feature pickles.
+
+The perception MODELS (CropFormer/TAP/SAM/CLIP/SBERT) are pluggable
+encoders (see perception.encoders); this pipeline consumes their outputs —
+precomputed artifacts (reference contract) or live encoder calls.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from openobj_tpu.perception import graph, merge, projection, similarity
+
+
+@dataclass
+class FrameInput:
+    masks: list[np.ndarray]            # [H, W] bool per mask
+    captions: list[str]
+    capfeats: list[np.ndarray]         # 384-d unit
+    clipfeats: list[np.ndarray]        # 512-d unit
+    depth: np.ndarray                  # [H, W] meters
+    rgb: np.ndarray                    # [H, W, 3] uint8
+    t_wc: np.ndarray                   # [4, 4]
+    gt_semantic: np.ndarray | None = None   # [H, W] GT ids (bg anchoring)
+
+
+@dataclass
+class AssociationConfig:
+    fx: float = 600.0
+    fy: float = 600.0
+    cx: float = 599.5
+    cy: float = 339.5
+    weights: dict = field(default_factory=lambda: {
+        "geo": 0.30, "cap": 0.20, "clip": 0.30, "color": 0.20, "geo2d": 0.60,
+    })
+    graph_method: str = "weighted"
+    skip_2d: int = 10
+    use_geo2d: bool = True
+    cap_thre: float = 0.8
+    dis_thre: float = 0.02
+    weight_pc: float = 0.6
+    weight_caption: float = 0.3
+    weight_color: float = 0.6
+    min_component_px: int = 100
+    dbscan_min_points: int = 100
+    dbscan_eps: float = 0.05    # scale with pixel footprint: ~2 * depth / fx
+    max_depth: float = 10.0
+    gt_bg_ids: dict = field(default_factory=dict)  # {"wall": id, ...}
+    seed: int = 0
+
+
+def associate(
+    frames: list[FrameInput],
+    bg_feats: dict[str, np.ndarray],   # canonical wall/floor/ceiling SBERT feats
+    cfg: AssociationConfig,
+):
+    """Run the full association. Returns dict with per-frame final ids +
+    filtered masks + the global instance images, ready for write_artifacts."""
+    # stage 1: project all masks to 3D evidence
+    ev_per_frame: list[list[projection.MaskEvidence]] = []
+    kept_caps, kept_capft, kept_clipft = [], [], []
+    for fr in frames:
+        evs, ok = projection.project_masks(
+            fr.masks, fr.depth, fr.rgb, fr.t_wc,
+            cfg.fx, cfg.fy, cfg.cx, cfg.cy,
+            max_depth=cfg.max_depth,
+            min_component_px=cfg.min_component_px,
+            dbscan_min_points=cfg.dbscan_min_points,
+            dbscan_eps=cfg.dbscan_eps,
+        )
+        ev_per_frame.append(evs)
+        kept_caps.append([c for c, k in zip(fr.captions, ok) if k])
+        kept_capft.append([c for c, k in zip(fr.capfeats, ok) if k])
+        kept_clipft.append([c for c, k in zip(fr.clipfeats, ok) if k])
+
+    flat_ev = [e for evs in ev_per_frame for e in evs]
+    if not flat_ev:
+        raise ValueError("no valid masks survived projection")
+    bboxes = np.stack([e.bbox for e in flat_ev])
+    capft = np.stack([f for fs in kept_capft for f in fs])
+    clipft = np.stack([f for fs in kept_clipft for f in fs])
+    colors = np.stack([e.color_hist for e in flat_ev])
+
+    # stage 2: similarity matrices
+    geo = similarity.iou3d_matrix(bboxes)
+    cap = similarity.cosine_matrix(capft)
+    clip = similarity.cosine_matrix(clipft)
+    color = similarity.cosine_matrix(colors)
+    geo2d = None
+    if cfg.use_geo2d and cfg.weights.get("geo2d", 0) > 0:
+        geo2d = similarity.projected_iou2d_matrix(
+            [f.depth for f in frames],
+            np.stack([f.t_wc for f in frames]),
+            cfg.fx, cfg.fy, cfg.cx, cfg.cy, bboxes, skip=cfg.skip_2d,
+        )
+
+    # stage 3: graph clustering + junk filter
+    adj, weighted = graph.build_adjacency(
+        geo, cap, clip, color, geo2d, method=cfg.graph_method,
+        weights=cfg.weights,
+    )
+    ids = graph.louvain_cluster(adj, weighted, seed=cfg.seed)
+    ids = graph.filter_rare_ids(ids, int(len(frames) / 50))
+
+    # unflatten ids back per frame
+    per_frame_ids: list[list[int]] = []
+    cur = 0
+    for evs in ev_per_frame:
+        per_frame_ids.append(ids[cur : cur + len(evs)])
+        cur += len(evs)
+
+    # stage 4: global accumulation with bg caption anchoring
+    clusters = merge.GlobalClusters(bg_feats, cap_thre=cfg.cap_thre)
+    for i, (evs, fids) in enumerate(zip(ev_per_frame, per_frame_ids)):
+        fr = frames[i]
+        for j, (ev, cid) in enumerate(zip(evs, fids)):
+            gt_sem = None
+            if fr.gt_semantic is not None and cfg.gt_bg_ids:
+                vals, counts = np.unique(
+                    fr.gt_semantic[ev.mask], return_counts=True
+                )
+                if len(vals):
+                    mode_id = int(vals[np.argmax(counts)])
+                    for name, gid in cfg.gt_bg_ids.items():
+                        if mode_id == gid:
+                            gt_sem = name
+            clusters.add(cid, ev.points, kept_capft[i][j], ev.color_hist, gt_sem)
+    pcs, caps_g, cols_g = clusters.finalize()
+
+    # stage 5: second-stage merge -> final ids
+    mapping, n_final = merge.second_stage_mapping(
+        pcs, caps_g, cols_g, bg_feats,
+        cap_thre=cfg.cap_thre, dis_thre=cfg.dis_thre,
+        weight_pc=cfg.weight_pc, weight_caption=cfg.weight_caption,
+        weight_color=cfg.weight_color,
+    )
+    final_ids = [
+        [mapping.get(c, 0) for c in fids] for fids in per_frame_ids
+    ]
+
+    h, w = frames[0].depth.shape
+    inst_images = []
+    for evs, fids in zip(ev_per_frame, final_ids):
+        img = np.zeros((h, w), np.int32)
+        for ev, gid in zip(evs, fids):
+            if gid != 0:
+                img[ev.mask] = gid
+        inst_images.append(img)
+
+    return {
+        "final_ids": final_ids,
+        "cluster_ids": per_frame_ids,
+        "masks": [[e.mask for e in evs] for evs in ev_per_frame],
+        "captions": kept_caps,
+        "capfeats": kept_capft,
+        "clipfeats": kept_clipft,
+        "inst_images": inst_images,
+        "n_objects": n_final,
+        "global_points": pcs,
+        "global_capft": caps_g,
+    }

@@ -1,0 +1,139 @@
+"""Stage-2 front half: per-frame mask -> 3D evidence.
+
+Parity with reference ``project_mask_pc`` + helpers
+(/root/reference/maskclustering/mask_graph.py:244-462):
+
+  * depth loaded/scaled, <min_depth and >max_depth zeroed (:341-350);
+  * each mask split into 8-connected components (:319-335), components
+    < 100 px dropped (and erased from the surviving mask, :391-396);
+  * per-component backprojection -> world points, DBSCAN denoise keeping
+    the largest cluster with a 3-tier min_points fallback (100 -> /5 -> /10)
+    (:244-316), surviving points erased back into the mask;
+  * masks with < 10 surviving points are dropped (mask_ok=False, :428-430);
+  * per-mask world AABB [min_xyz, max_xyz] (:441-442);
+  * 3x32-bin RGB histogram over the (depth-valid) mask (:446-461).
+
+Implementation: numpy + cv2 connectedComponents + sklearn DBSCAN — the same
+third-party substrate class the reference used via Open3D, no torch.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+try:
+    import cv2
+except Exception:  # pragma: no cover
+    cv2 = None
+
+from sklearn.cluster import DBSCAN
+
+
+@dataclass
+class MaskEvidence:
+    """3D evidence for one surviving mask."""
+    points: np.ndarray       # [N, 3] world
+    bbox: np.ndarray         # [6] (min_xyz, max_xyz)
+    color_hist: np.ndarray   # [96] 3x32-bin RGB histogram
+    mask: np.ndarray         # [H, W] bool, filtered to surviving evidence
+
+
+def dbscan_largest_cluster(points: np.ndarray, eps: float = 0.05,
+                           min_points: int = 100):
+    """Largest-DBSCAN-cluster denoise with the reference's 3-tier
+    min_points fallback (mask_graph.py:244-316). Returns (points, keep_mask)."""
+    for mp in (min_points, max(1, min_points // 5), max(1, min_points // 10)):
+        if len(points) < 1:
+            break
+        labels = DBSCAN(eps=eps, min_samples=mp).fit_predict(points)
+        valid = labels >= 0
+        if valid.any():
+            uniq, counts = np.unique(labels[valid], return_counts=True)
+            best = uniq[np.argmax(counts)]
+            keep = labels == best
+            return points[keep], keep
+    return points, np.ones(len(points), bool)
+
+
+def connected_components(mask: np.ndarray) -> list[np.ndarray]:
+    """8-connected component masks (mask_graph.py:319-335)."""
+    if cv2 is not None:
+        n, lab = cv2.connectedComponents(mask.astype(np.uint8), connectivity=8)
+        return [lab == i for i in range(1, n)]
+    from scipy import ndimage
+
+    lab, n = ndimage.label(mask)
+    return [lab == i for i in range(1, n + 1)]
+
+
+def color_histogram(rgb: np.ndarray, mask: np.ndarray, bins: int = 32) -> np.ndarray:
+    """3 x bins histogram over masked pixels (mask_graph.py:446-461)."""
+    hs = []
+    m = mask.astype(bool)
+    for c in range(3):
+        h, _ = np.histogram(rgb[..., c][m], bins=bins, range=(0, 256))
+        hs.append(h.astype(np.float32))
+    return np.concatenate(hs)
+
+
+def project_masks(
+    masks: list[np.ndarray],        # per-mask [H, W] bool
+    depth: np.ndarray,              # [H, W] float meters
+    rgb: np.ndarray,                # [H, W, 3] uint8
+    t_wc: np.ndarray,               # [4, 4]
+    fx: float, fy: float, cx: float, cy: float,
+    min_depth: float = 0.07,
+    max_depth: float = 10.0,
+    min_component_px: int = 100,
+    dbscan_eps: float = 0.05,
+    dbscan_min_points: int = 100,
+    min_points: int = 10,
+):
+    """Returns (evidences: list[MaskEvidence], ok: [len(masks)] bool)."""
+    depth = depth.copy()
+    if min_depth > 0:
+        depth[depth < min_depth] = 0
+    if max_depth > 0:
+        depth[depth > max_depth] = 0
+    depth_valid = depth > 0
+
+    out: list[MaskEvidence] = []
+    ok = np.ones(len(masks), bool)
+    for i, mask in enumerate(masks):
+        mask = mask.astype(bool)
+        m_valid = mask & depth_valid
+        if not m_valid.any():
+            ok[i] = False
+            continue
+        new_mask = m_valid.copy()
+        pts_all = []
+        for comp in connected_components(mask):
+            comp_v = comp & depth_valid
+            n_px = int(comp_v.sum())
+            if n_px < min_component_px:
+                new_mask[comp_v] = False
+                continue
+            v, u = np.nonzero(comp_v)
+            z = depth[v, u]
+            pts = np.stack([(u - cx) * z / fx, (v - cy) * z / fy, z], -1)
+            pts = pts @ t_wc[:3, :3].T + t_wc[:3, 3]
+            pts_kept, keep = dbscan_largest_cluster(
+                pts, eps=dbscan_eps, min_points=dbscan_min_points
+            )
+            # erase dropped points from the mask (mask_graph.py:424-425)
+            new_mask[v[~keep], u[~keep]] = False
+            pts_all.append(pts_kept)
+        if not pts_all:
+            ok[i] = False
+            continue
+        pc = np.concatenate(pts_all)
+        if pc.shape[0] < min_points:
+            ok[i] = False
+            continue
+        bbox = np.concatenate([pc.min(0), pc.max(0)])
+        hist = color_histogram(rgb, m_valid)
+        out.append(MaskEvidence(points=pc, bbox=bbox, color_hist=hist,
+                                mask=new_mask))
+    return out, ok

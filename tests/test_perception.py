@@ -1,0 +1,277 @@
+"""Perception/association tests: projection, similarity matrices, graph
+clustering, global merge, and the end-to-end associate() on a synthetic
+two-object multi-view scene."""
+
+import numpy as np
+import pytest
+
+from openobj_tpu.data import synthetic
+from openobj_tpu.ops import sampling
+from openobj_tpu.perception import graph, merge, partfeat, pipeline, projection, similarity
+
+
+def _unit(v):
+    v = np.asarray(v, np.float64)
+    return v / np.linalg.norm(v)
+
+
+class TestProjection:
+    def test_simple_mask(self):
+        h, w = 40, 60
+        depth = np.full((h, w), 2.0, np.float32)
+        rgb = np.full((h, w, 3), 128, np.uint8)
+        mask = np.zeros((h, w), bool)
+        mask[10:30, 20:40] = True
+        evs, ok = projection.project_masks(
+            [mask], depth, rgb, np.eye(4), 30, 30, 30, 20,
+            min_component_px=50, dbscan_min_points=20,
+        )
+        assert ok[0] and len(evs) == 1
+        ev = evs[0]
+        assert ev.points.shape[1] == 3
+        np.testing.assert_allclose(ev.points[:, 2], 2.0)
+        assert ev.color_hist.shape == (96,)
+        assert ev.color_hist.sum() == 3 * mask.sum()  # one count per channel
+
+    def test_small_or_invalid_masks_dropped(self):
+        h, w = 20, 20
+        depth = np.zeros((h, w), np.float32)  # all invalid
+        rgb = np.zeros((h, w, 3), np.uint8)
+        mask = np.ones((h, w), bool)
+        evs, ok = projection.project_masks(
+            [mask], depth, rgb, np.eye(4), 10, 10, 10, 10
+        )
+        assert not ok[0] and len(evs) == 0
+
+    def test_component_split_filters_specks(self):
+        h, w = 60, 60
+        depth = np.full((h, w), 1.0, np.float32)
+        rgb = np.zeros((h, w, 3), np.uint8)
+        mask = np.zeros((h, w), bool)
+        mask[5:35, 5:35] = True    # big component
+        mask[50:52, 50:52] = True  # 4-px speck -> dropped, erased from mask
+        evs, ok = projection.project_masks(
+            [mask], depth, rgb, np.eye(4), 30, 30, 30, 30,
+            min_component_px=100, dbscan_min_points=20,
+        )
+        assert ok[0]
+        assert not evs[0].mask[50, 50]
+
+
+class TestSimilarity:
+    def test_iou3d_smaller_volume_normalized(self):
+        # small box fully inside big box -> similarity 1.0 (not union IoU)
+        boxes = np.array(
+            [[0, 0, 0, 1, 1, 1], [0.2, 0.2, 0.2, 0.4, 0.4, 0.4]], np.float64
+        )
+        m = similarity.iou3d_matrix(boxes)
+        np.testing.assert_allclose(m[0, 1], 1.0, atol=1e-6)
+        np.testing.assert_allclose(np.diag(m), 1.0, atol=1e-6)
+
+    def test_cosine_matrix(self):
+        f = np.array([[1.0, 0], [0, 2.0], [1.0, 0]])
+        m = similarity.cosine_matrix(f)
+        np.testing.assert_allclose(m[0, 2], 1.0, atol=1e-6)
+        np.testing.assert_allclose(m[0, 1], 0.0, atol=1e-6)
+
+    def test_projected_iou2d(self):
+        # two identical AABBs must have projected IoU 1; disjoint distant ~0
+        boxes = np.array(
+            [
+                [-0.5, -0.5, 1.5, 0.5, 0.5, 2.5],
+                [-0.5, -0.5, 1.5, 0.5, 0.5, 2.5],
+                [5.0, 5.0, 9.0, 6.0, 6.0, 9.5],
+            ]
+        )
+        depth = np.full((60, 80), 2.0, np.float32)
+        m = similarity.projected_iou2d_matrix(
+            [depth], np.eye(4)[None], 40, 40, 40, 30, boxes, skip=10
+        )
+        np.testing.assert_allclose(m[0, 1], 1.0, atol=1e-6)
+        assert m[0, 2] < 0.2
+
+
+class TestGraph:
+    def test_weighted_edges_and_louvain(self):
+        n = 6
+        geo = np.eye(n)
+        # masks 0-2 one object, 3-5 another: high mutual similarity
+        for grp in ((0, 1, 2), (3, 4, 5)):
+            for i in grp:
+                for j in grp:
+                    geo[i, j] = 1.0
+        cap = geo.copy()
+        clip = geo.copy()
+        color = geo.copy()
+        adj, weighted = graph.build_adjacency(geo, cap, clip, color)
+        assert adj[0, 1] and not adj[0, 3]
+        ids = graph.louvain_cluster(adj, weighted)
+        assert ids[0] == ids[1] == ids[2]
+        assert ids[3] == ids[4] == ids[5]
+        assert ids[0] != ids[3]
+
+    def test_filter_rare(self):
+        ids = [1, 1, 1, 2]
+        out = graph.filter_rare_ids(ids, 1)
+        assert out == [1, 1, 1, graph.JUNK_ID]
+
+
+class TestMerge:
+    def test_overlap_ratio(self, rng):
+        pc = rng.uniform(-1, 1, (500, 3))
+        assert merge.overlap_ratio(pc, pc + 0.001) > 0.9
+        assert merge.overlap_ratio(pc, pc + 10.0) == 0.0
+
+    def test_second_stage_merges_overlapping(self, rng):
+        pc = rng.uniform(-1, 1, (400, 3))
+        f1, f2 = _unit(rng.normal(size=384)), _unit(rng.normal(size=384))
+        c1 = _unit(np.abs(rng.normal(size=96)))
+        pcs = {10: pc, 11: pc + 0.001, 12: pc + 50.0}
+        caps = {10: f1, 11: f1, 12: f2}
+        cols = {10: c1, 11: c1, 12: c1}
+        mapping, n = merge.second_stage_mapping(
+            pcs, caps, cols, bg_feats={}, weight_pc=0.6,
+            weight_caption=0.3, weight_color=0.6,
+        )
+        assert mapping[10] == mapping[11]
+        assert mapping[12] != mapping[10]
+        assert mapping[graph.JUNK_ID] == 0
+
+    def test_bg_caption_reserved_ids(self, rng):
+        wall = _unit(rng.normal(size=384))
+        f_obj = _unit(rng.normal(size=384))
+        pc = rng.uniform(-1, 1, (100, 3))
+        pcs = {5: pc, 6: pc + 30}
+        caps = {5: wall, 6: f_obj}
+        cols = {5: _unit(np.ones(96)), 6: _unit(np.ones(96))}
+        mapping, _ = merge.second_stage_mapping(
+            pcs, caps, cols, bg_feats={"wall": wall[None]},
+        )
+        assert mapping[5] == 1  # reserved wall id
+        assert mapping[6] >= 4
+
+    def test_majority_cluster_mean(self, rng):
+        tight = rng.normal(size=384) * 0.01 + 1.0
+        vecs = np.stack([tight + rng.normal(size=384) * 0.01 for _ in range(8)]
+                        + [rng.normal(size=384) * 5 for _ in range(2)])
+        m = merge.majority_cluster_mean(vecs, eps=0.5)
+        assert np.abs(m - 1.0).mean() < 0.1  # outliers excluded
+
+
+class TestPartFeat:
+    def test_last_writer_wins(self):
+        h, w, c = 20, 20, 8
+        m1 = np.zeros((h, w), bool)
+        m1[:10] = True
+        m2 = np.zeros((h, w), bool)
+        m2[5:15] = True
+        f1, f2 = np.ones(c), np.full(c, 2.0)
+        pf = partfeat.build_part_feature_map([m1, m2], [f1, f2], down=2)
+        assert pf.shape == (10, 10, 8)
+        assert pf[1, 0, 0] == 1.0   # only m1
+        assert pf[3, 0, 0] == 2.0   # overlap -> later mask wins
+        assert pf[9, 0, 0] == 0.0   # neither... row 18 -> m2? no: 18>=15 -> 0
+
+    def test_stability_scaling(self):
+        m = np.ones((4, 4), bool)
+        pf = partfeat.build_part_feature_map([m], [np.ones(2)], [0.5], down=1)
+        np.testing.assert_allclose(pf, 0.5)
+
+
+class TestEncoderHelpers:
+    def test_split_mask_groups_nearby(self):
+        from openobj_tpu.perception.encoders import split_mask
+
+        mask = np.zeros((100, 100), bool)
+        mask[10:30, 10:30] = True     # blob A
+        mask[10:30, 32:50] = True     # blob B, 2px gap -> same group
+        mask[80:98, 80:98] = True     # blob C, far -> own group
+        out = split_mask(mask, min_px=50, eps_factor=0.1)
+        assert len(out) == 2
+        sizes = sorted(m.sum() for m in out)
+        assert sizes[1] > sizes[0]
+
+    def test_crop_with_padding_clips(self):
+        from openobj_tpu.perception.encoders import crop_with_padding
+
+        img = np.arange(100).reshape(10, 10)
+        crop = crop_with_padding(img, (0, 5, 0, 5), pad=20)
+        assert crop.shape == (10, 10)  # clipped to image
+
+
+class TestAssociateEndToEnd:
+    def test_two_object_scene(self, rng):
+        """Multi-view synthetic scene: per-frame masks of 2 spheres + bg wall
+        must cluster into consistent global ids across frames."""
+        cam = {"fx": 40.0, "fy": 40.0, "cx": 32.0, "cy": 24.0}
+        dirs = np.asarray(
+            sampling.camera_ray_dirs(64, 48, cam["fx"], cam["fy"], cam["cx"], cam["cy"])
+        )
+        scene = synthetic.default_scene(n_spheres=2)
+        f_obj1, f_obj2 = _unit(rng.normal(size=384)), _unit(rng.normal(size=384))
+        wall_ft = _unit(rng.normal(size=384))
+        c_obj1, c_obj2 = _unit(rng.normal(size=512)), _unit(rng.normal(size=512))
+        # limited arc (correlated viewpoints like a real walkthrough): a full
+        # 360-degree orbit yields opposite hemispheres with ~0 3D overlap,
+        # which no association cue can bridge at this tiny resolution
+        frames = []
+        views = [
+            scene.render(synthetic.orbit_pose(a), dirs) + (synthetic.orbit_pose(a),)
+            for a in np.linspace(-0.5, 0.5, 6)
+        ]
+        for i, (rgb, depth, inst, t_wc) in enumerate(views):
+            masks, caps, capfts, clipfts = [], [], [], []
+            for oid, cap, capft, clipft in (
+                (4, "a red ball", f_obj1, c_obj1),
+                (5, "a blue ball", f_obj2, c_obj2),
+                (0, "a wall", wall_ft, _unit(rng.normal(size=512))),
+            ):
+                m = inst == oid
+                if m.sum() < 30:
+                    continue
+                masks.append(m)
+                caps.append(cap)
+                capfts.append(capft + rng.normal(size=384) * 0.01)
+                clipfts.append(clipft + rng.normal(size=512) * 0.01)
+            frames.append(
+                pipeline.FrameInput(
+                    masks=masks, captions=caps, capfeats=capfts,
+                    clipfeats=clipfts, depth=depth, rgb=rgb, t_wc=t_wc,
+                )
+            )
+        # low-res test scene: pixel footprint at 2.5 m with fx=40 is ~6 cm,
+        # so the denoise eps must scale up accordingly
+        cfg = pipeline.AssociationConfig(
+            **cam, min_component_px=20, dbscan_min_points=10,
+            dbscan_eps=0.25, use_geo2d=True,
+        )
+        out = pipeline.associate(frames, bg_feats={"wall": wall_ft[None]}, cfg=cfg)
+
+        # each caption maps to ONE consistent global id across all frames
+        ids_of = {}
+        for caps, fids in zip(out["captions"], out["final_ids"]):
+            for cap, gid in zip(caps, fids):
+                ids_of.setdefault(cap, set()).add(gid)
+        assert len(ids_of["a red ball"]) == 1, ids_of
+        assert len(ids_of["a blue ball"]) == 1, ids_of
+        assert ids_of["a red ball"] != ids_of["a blue ball"]
+        assert ids_of["a wall"] == {1}  # reserved wall id
+
+    def test_write_artifacts_roundtrip(self, tmp_path, rng):
+        from openobj_tpu.perception.encoders import load_object_features
+        import cv2
+
+        h, w = 20, 30
+        m = np.zeros((h, w), bool)
+        m[5:15, 5:15] = True
+        merge.write_artifacts(
+            str(tmp_path), [[m]], [[4]],
+            [[rng.normal(size=512)]], [[rng.normal(size=384)]], [["a chair"]],
+            (h, w),
+        )
+        img = cv2.imread(str(tmp_path / "instance_our/semantic_instance_0.png"), -1)
+        assert img.dtype == np.uint16
+        assert (img[m] == 4).all() and (img[~m] == 0).all()
+        feats = load_object_features(str(tmp_path))
+        assert feats["caption"][0][4] == "a chair"
+        assert feats["clipfeat"][0][4].shape == (512,)

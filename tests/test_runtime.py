@@ -1,0 +1,235 @@
+"""Runtime tests: frame store, keyframe policy, optimizer slots, and the
+end-to-end jitted per-frame trainer on a synthetic scene."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from openobj_tpu.core import optim, trainer
+from openobj_tpu.core.frame_store import append_frame, init_frame_store
+from openobj_tpu.core.registry import ObjectRegistry
+from openobj_tpu.core.scene import Camera, SceneMapper
+from openobj_tpu.data import synthetic
+from openobj_tpu.data.transforms import instance_bboxes, scale_depth
+from openobj_tpu.models import object_field
+from openobj_tpu.ops import rendering
+
+
+class TestTransforms:
+    def test_scale_depth(self):
+        d = np.array([[1000, 9000], [0, 4000]], np.uint16)
+        out = scale_depth(d, 1e-3, 8.0)
+        np.testing.assert_allclose(out, [[1.0, 0.0], [0.0, 4.0]])
+
+    def test_instance_bboxes(self):
+        inst = np.zeros((40, 60), np.int32)
+        inst[10:25, 20:40] = 5      # 15x20 object
+        inst[0:3, 0:3] = 7          # too small -> dropped
+        inst[30:32, :] = -1         # unknown strip
+        bb = instance_bboxes(inst, enlarge=1.0, min_side=10)
+        assert bb[0] == (0, 40, 0, 60)          # bg = full frame
+        assert bb[5] == (10, 25, 20, 40)
+        assert 7 not in bb and -1 not in bb
+
+    def test_bbox_enlarge(self):
+        inst = np.zeros((100, 100), np.int32)
+        inst[40:60, 40:60] = 4
+        bb = instance_bboxes(inst, enlarge=1.2, min_side=10)[4]
+        assert bb[0] <= 38 and bb[1] >= 62  # grew ~x1.2 about center
+
+
+class TestFrameStore:
+    def test_append_and_capacity(self):
+        s = init_frame_store(2, 8, 10)
+        rgb = np.full((8, 10, 3), 7, np.uint8)
+        depth = np.ones((8, 10), np.float32)
+        inst = np.zeros((8, 10), np.int32)
+        s, i0 = append_frame(s, rgb, depth, inst, np.eye(4))
+        s, i1 = append_frame(s, rgb * 2, depth, inst, np.eye(4))
+        assert (i0, i1) == (0, 1)
+        assert int(s.rgb[1, 0, 0, 0]) == 14
+        with pytest.raises(ValueError):
+            append_frame(s, rgb, depth, inst, np.eye(4))
+
+    def test_partfeat_store(self):
+        s = init_frame_store(2, 10, 10, part_feat_dim=16, part_down=5)
+        assert s.partfeat.shape == (2, 2, 2, 16)
+        pf = np.ones((2, 2, 16), np.float32)
+        s, _ = append_frame(
+            s, np.zeros((10, 10, 3), np.uint8), np.zeros((10, 10), np.float32),
+            np.zeros((10, 10), np.int32), np.eye(4), partfeat=pf,
+        )
+        assert float(s.partfeat[0].astype(jnp.float32).sum()) == 64.0
+
+
+class TestRegistryPolicy:
+    def _mk(self, K=5, step=2):
+        return ObjectRegistry(
+            max_objects=8, keyframe_buffer_size=K,
+            keyframe_step=step, keyframe_step_bg=step, do_bg=True,
+        )
+
+    def test_first_observation_is_keyframe(self):
+        r = self._mk()
+        slot = r.observe_object(4, frame_idx=0, bbox=(0, 4, 0, 4))
+        assert slot == 0 and r.n_kf[0] == 1
+        assert r.kf_frames[0, 0] == 0
+
+    def test_nonkeyframe_overwrites_newest(self):
+        r = self._mk(step=3)
+        r.observe_object(4, 0, (0, 4, 0, 4))   # kf slot0 (first)
+        r.observe_object(4, 1, (0, 4, 0, 4))   # frame_cnt=0 -> kf, appends slot1
+        r.observe_object(4, 2, (0, 4, 0, 4))   # cnt=1, n_kf=2 -> not kf, overwrite slot1
+        st = r.slots[0]
+        assert st.n_kf == 2
+        assert r.kf_frames[0, 1] == 2           # overwritten in place
+
+    def test_buffer_full_prunes_random_not_latest(self):
+        r = self._mk(K=4, step=1)  # every frame a keyframe
+        for f in range(10):
+            r.observe_object(4, f, (0, 4, 0, 4))
+        st = r.slots[0]
+        assert st.n_kf == 3  # stays at K-1
+        # latest2 entries always valid slot indices
+        assert set(r.latest2[0]) <= set(range(4))
+
+    def test_bg_separate(self):
+        r = self._mk()
+        s = r.observe_object(0, 0, (0, 4, 0, 4))
+        assert s == -1 and r.n_objects == 0 and r.bg_seen
+
+    def test_model_cap(self):
+        r = self._mk()
+        for i in range(12):
+            r.observe_object(10 + i, 0, (0, 4, 0, 4))
+        assert r.n_objects == 8  # capped (reference train.py:231-233)
+        assert r.observe_object(99, 1, (0, 4, 0, 4)) is None
+
+
+class TestGrowState:
+    def test_grow_preserves_and_extends(self, key):
+        cfg = trainer.TrainConfig(hidden=16, hidden_bg=16, clip_size=4)
+        st = trainer.init_train_state(key, cfg, n_slots=4)
+        p0 = jax.tree.leaves(st.fg_params)[0].copy()
+        st2 = trainer.grow_train_state(key, st, cfg, 8)
+        assert st2.n_slots == 8
+        np.testing.assert_array_equal(
+            np.asarray(jax.tree.leaves(st2.fg_params)[0][:4]), np.asarray(p0)
+        )
+        assert int(st2.fg_opt.count.shape[0]) == 8
+
+
+def _tiny_cfg(part_mode=False):
+    """Small but structurally faithful config for CPU tests."""
+    return trainer.TrainConfig(
+        n_iters_per_frame=8, win_size=2, n_samples_per_frame=16,
+        win_size_bg=2, n_samples_per_frame_bg=32,
+        hidden=32, hidden_bg=32, clip_size=8,
+        part_mode=part_mode, part_down=5,
+    )
+
+
+def _camera():
+    return Camera(width=64, height=48, fx=40.0, fy=40.0, cx=32.0, cy=24.0)
+
+
+class TestSceneMapperEndToEnd:
+    def test_synthetic_scene_converges(self):
+        """12-frame orbit around 2 spheres; the trained object fields must
+        reproduce held-out depth and color (the reference's parity protocol
+        in miniature — see BASELINE.md)."""
+        cam = _camera()
+        cfg = trainer.TrainConfig(
+            n_iters_per_frame=20, win_size=2, n_samples_per_frame=24,
+            win_size_bg=2, n_samples_per_frame_bg=48,
+            hidden=32, hidden_bg=64, clip_size=8,
+        )
+        scene = synthetic.default_scene(n_spheres=2)
+        mapper = SceneMapper(cam, cfg, frame_capacity=32, initial_bucket=4)
+        dirs = np.asarray(cam.ray_dirs())
+        for rgb, depth, inst, t_wc in synthetic.make_sequence(scene, dirs, n_frames=12):
+            losses = mapper.process_frame(rgb, depth, inst, t_wc)
+        assert mapper.n_objects == 2
+        assert np.isfinite(losses).all()
+
+        # held-out view: per-object rendered depth/color vs analytic truth
+        t_eval = synthetic.orbit_pose(0.3)
+        rgb_gt, depth_gt, inst_gt = scene.render(t_eval, dirs)
+        from openobj_tpu.ops import sampling as S
+        for oid in (4, 5):
+            params = mapper.params_for_instance(oid)
+            mask = inst_gt == oid
+            assert mask.sum() > 20
+            rows, cols = np.where(mask)
+            d_c = jnp.asarray(dirs[rows, cols])
+            o, d = S.origin_dirs_w(jnp.asarray(t_eval, jnp.float32)[None], d_c)
+            z = jnp.broadcast_to(jnp.linspace(0.5, 4.5, 64), (d_c.shape[0], 64))
+            pts = S.rays_to_points(o, d, z)
+            a, c, _ = object_field.field_apply(params, pts)
+            w = rendering.occupancy_to_termination(
+                rendering.occupancy_activation(a[..., 0])
+            )
+            rd = np.asarray(rendering.render(w, z))
+            rc = np.asarray(rendering.render(w[..., None], c, axis=-2))
+            mae_d = np.abs(rd - depth_gt[rows, cols]).mean()
+            mae_c = np.abs(rc - rgb_gt[rows, cols] / 255.0).mean()
+            assert mae_d < 0.15, f"obj {oid} depth MAE {mae_d}"
+            assert mae_c < 0.10, f"obj {oid} color MAE {mae_c}"
+
+    def test_part_mode_runs(self):
+        cam = _camera()
+        cfg = _tiny_cfg(part_mode=True)
+        scene = synthetic.default_scene(n_spheres=1)
+        mapper = SceneMapper(cam, cfg, frame_capacity=8, initial_bucket=4)
+        dirs = np.asarray(cam.ray_dirs())
+        hp, wp = cam.height // 5, cam.width // 5
+        for i, (rgb, depth, inst, t_wc) in enumerate(
+            synthetic.make_sequence(scene, dirs, n_frames=3)
+        ):
+            pf = np.ones((hp, wp, 8), np.float32)
+            losses = mapper.process_frame(rgb, depth, inst, t_wc, partfeat=pf)
+        assert losses is not None and np.isfinite(losses).all()
+
+    def test_new_object_no_bucket_recompile(self):
+        """Objects appearing within a bucket must not change array shapes
+        (the no-recompile contract)."""
+        cam = _camera()
+        cfg = _tiny_cfg()
+        scene = synthetic.default_scene(n_spheres=3)
+        mapper = SceneMapper(cam, cfg, frame_capacity=8, initial_bucket=4)
+        dirs = np.asarray(cam.ray_dirs())
+        shapes = set()
+        for rgb, depth, inst, t_wc in synthetic.make_sequence(scene, dirs, n_frames=4):
+            mapper.process_frame(rgb, depth, inst, t_wc)
+            shapes.add(jax.tree.leaves(mapper.state.fg_params)[0].shape)
+        assert len(shapes) == 1  # 3 objects fit the initial bucket of 4
+
+
+class TestAdamWParity:
+    def test_against_torch_adamw(self, key):
+        """Our AdamW must match torch.optim.AdamW step-for-step (the
+        reference's optimizer, train.py:78)."""
+        torch = pytest.importorskip("torch")
+        w0 = np.random.default_rng(0).normal(size=(5, 3)).astype(np.float32)
+        g_seq = [
+            np.random.default_rng(i + 1).normal(size=(5, 3)).astype(np.float32)
+            for i in range(5)
+        ]
+
+        tw = torch.nn.Parameter(torch.tensor(w0.copy()))
+        opt = torch.optim.AdamW([tw], lr=1e-3, weight_decay=0.013)
+        for g in g_seq:
+            opt.zero_grad()
+            tw.grad = torch.tensor(g)
+            opt.step()
+
+        params = {"w": jnp.asarray(w0)}
+        st = optim.init_adamw_state(params)
+        for g in g_seq:
+            params, st = optim.adamw_update(
+                params, {"w": jnp.asarray(g)}, st, lr=1e-3, weight_decay=0.013
+            )
+        np.testing.assert_allclose(
+            np.asarray(params["w"]), tw.detach().numpy(), rtol=1e-5, atol=1e-7
+        )
