@@ -1,0 +1,265 @@
+"""Replica / ScanNet sequence loaders.
+
+Parity with /root/reference/objnerf/dataset.py (kept in [H, W] layout —
+the reference transposes everything to [W, H]):
+
+  * frame subsampling: idx = start + i * stride (:79-81); the association
+    artifacts (instance/class PNGs, feature pickles) are indexed by
+    idx/10 — the association pipeline's own stride (:82, hardcoded 10);
+  * instance PNG: uint16 ids; 0 -> -1 unknown (:107-109); the wall class
+    (id 1, background_cls_list) -> bg id 0 (:163-164); pixels of dropped
+    (too-small) objects -> -1 (:166);
+  * per-object bboxes from masks, sides <= 10 px dropped, enlarged by
+    bbox_scale=0.2 (x1.2) (:140-158);
+  * bg (id 0) gets the full-frame bbox + the wall's features (:172-175);
+  * depth: float32 * depth_scale, > max_depth -> 0 (image_transforms);
+  * part features: partlevel/<idx>.npy, optional 2x bilinear downsample
+    when part_down == 10 (ScanNet, :314-318);
+  * poses from traj_w_c.txt rows (Replica + our ScanNet convention).
+
+Loading is host-side (cv2) and prefetched on a background thread — the
+framework's equivalent of the reference's 4-worker DataLoader.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import queue
+import threading
+from dataclasses import dataclass
+
+import numpy as np
+
+try:
+    import cv2
+except Exception:  # pragma: no cover
+    cv2 = None
+
+from openobj_tpu.data.transforms import enlarge_bbox, scale_depth
+
+BACKGROUND_CLS = (1,)  # the association pipeline's wall id (dataset.py:67)
+
+
+@dataclass
+class FrameSample:
+    frame_id: int
+    rgb: np.ndarray            # [H, W, 3] uint8
+    depth: np.ndarray          # [H, W] float32 meters
+    inst: np.ndarray           # [H, W] int32: -1 unknown, 0 bg, 4+ objects
+    t_wc: np.ndarray           # [4, 4]
+    bboxes: dict               # {obj_id: (r0, r1, c0, c1)}
+    obj_clip: dict             # {obj_id: 512-d}
+    obj_cap: dict              # {obj_id: 384-d}
+    part_feat: np.ndarray | None = None
+
+
+def _natsort_key(p):
+    base = os.path.splitext(os.path.basename(p))[0]
+    digits = "".join(ch for ch in base if ch.isdigit())
+    return int(digits) if digits else 0
+
+
+def process_instance_frame(
+    inst: np.ndarray,
+    obj_clipfeat: dict,
+    obj_capfeat: dict,
+    bbox_scale: float = 0.2,
+    min_side: int = 10,
+    background_cls=BACKGROUND_CLS,
+    imap_mode: bool = False,
+):
+    """The reference's per-frame instance/bbox derivation (dataset.py:107-175).
+    Returns (inst_out, bboxes, clip_dict, cap_dict)."""
+    inst = inst.astype(np.int32)
+    h, w = inst.shape
+    if imap_mode:
+        return np.zeros_like(inst), {}, {}, {}
+    inst = inst.copy()
+    inst[inst == 0] = -1  # 0 is "unknown", not background (dataset.py:107-109)
+
+    bboxes, clip_d, cap_d = {}, {}, {}
+    kept = np.zeros_like(inst)
+    for inst_id in np.unique(inst):
+        if inst_id == -1 or inst_id in background_cls:
+            continue
+        mask = inst == inst_id
+        rows = np.any(mask, axis=1)
+        cols = np.any(mask, axis=0)
+        r0, r1 = np.argmax(rows), h - np.argmax(rows[::-1])
+        c0, c1 = np.argmax(cols), w - np.argmax(cols[::-1])
+        if (r1 - r0) <= min_side or (c1 - c0) <= min_side:
+            continue  # too small -> unknown (dataset.py:147)
+        bb = enlarge_bbox((r0, r1, c0, c1), 1.0 + bbox_scale, h, w)
+        inst_id = int(inst_id)
+        kept[mask] = 1
+        bboxes[inst_id] = bb
+        if inst_id in obj_clipfeat:
+            clip_d[inst_id] = obj_clipfeat[inst_id]
+        if inst_id in obj_capfeat:
+            cap_d[inst_id] = obj_capfeat[inst_id]
+    for cls in background_cls:
+        inst[inst == cls] = 0
+    inst[(kept == 0) & (inst != 0)] = -1  # dropped objects -> unknown
+
+    # background slot: full-frame bbox + the wall's features (dataset.py:172-175)
+    wall_key = background_cls[0]
+    if wall_key in obj_clipfeat:
+        bboxes[0] = (0, h, 0, w)
+        clip_d[0] = obj_clipfeat[wall_key]
+        cap_d[0] = obj_capfeat.get(wall_key)
+    return inst, bboxes, clip_d, cap_d
+
+
+class _SequenceDataset:
+    """Common Replica/ScanNet logic; subclasses provide file lists."""
+
+    assoc_stride = 10  # artifact index = frame_idx // 10 (dataset.py:82)
+
+    def __init__(self, root_dir: str, start: int = 0, stride: int = 10,
+                 depth_scale: float = 1e-3, max_depth: float = 8.0,
+                 part_mode: bool = False, part_down: int = 5,
+                 imap_mode: bool = False):
+        self.root_dir = root_dir
+        self.start = start
+        self.stride = stride
+        self.depth_scale = depth_scale
+        self.max_depth = max_depth
+        self.part_mode = part_mode
+        self.part_down = part_down
+        self.imap_mode = imap_mode
+        self.t_wc_all = np.loadtxt(
+            os.path.join(root_dir, "traj_w_c.txt"), delimiter=" "
+        ).reshape(-1, 4, 4)
+        with open(os.path.join(root_dir, "object_clipfeat.pkl"), "rb") as f:
+            self.obj_clipfeat = pickle.load(f)
+        with open(os.path.join(root_dir, "object_capfeat.pkl"), "rb") as f:
+            self.obj_capfeat = pickle.load(f)
+
+    def _rgb_path(self, idx: int) -> str:
+        raise NotImplementedError
+
+    def _depth_path(self, idx: int) -> str:
+        raise NotImplementedError
+
+    def _inst_path(self, idx_no: int) -> str:
+        return os.path.join(
+            self.root_dir, "instance_our", f"semantic_instance_{idx_no}.png"
+        )
+
+    def _n_raw_frames(self) -> int:
+        raise NotImplementedError
+
+    def __len__(self) -> int:
+        return int((self._n_raw_frames() - self.start) / self.stride)
+
+    def __getitem__(self, i: int) -> FrameSample:
+        idx = int(self.start + i * self.stride)
+        idx_no = idx // self.assoc_stride
+        rgb = cv2.imread(self._rgb_path(idx)).astype(np.uint8)
+        rgb = cv2.cvtColor(rgb, cv2.COLOR_BGR2RGB)
+        depth_raw = cv2.imread(self._depth_path(idx), -1).astype(np.float32)
+        depth_raw = np.nan_to_num(depth_raw, nan=0.0)
+        depth = scale_depth(depth_raw, self.depth_scale, self.max_depth)
+        if rgb.shape[:2] != depth.shape:
+            rgb = cv2.resize(
+                rgb, (depth.shape[1], depth.shape[0]),
+                interpolation=cv2.INTER_LINEAR,
+            )
+        inst_raw = cv2.imread(self._inst_path(idx_no), cv2.IMREAD_UNCHANGED)
+        inst, bboxes, clip_d, cap_d = process_instance_frame(
+            inst_raw,
+            self.obj_clipfeat[idx_no], self.obj_capfeat[idx_no],
+            imap_mode=self.imap_mode,
+        )
+        pf = None
+        if self.part_mode:
+            pf = np.load(os.path.join(self.root_dir, "partlevel", f"{idx}.npy"))
+            if self.part_down == 10:  # ScanNet downsample (dataset.py:314-318)
+                pf = pf.transpose(2, 0, 1)
+                pf = np.stack([
+                    cv2.resize(c, (pf.shape[2] // 2, pf.shape[1] // 2),
+                               interpolation=cv2.INTER_LINEAR)
+                    for c in pf
+                ]).transpose(1, 2, 0)
+        return FrameSample(
+            frame_id=idx, rgb=rgb, depth=depth, inst=inst,
+            t_wc=self.t_wc_all[idx], bboxes=bboxes,
+            obj_clip=clip_d, obj_cap=cap_d, part_feat=pf,
+        )
+
+
+class Replica(_SequenceDataset):
+    """rgb/rgb_<i>.png + depth/depth_<i>.png (dataset.py:86-87)."""
+
+    def _rgb_path(self, idx):
+        return os.path.join(self.root_dir, "rgb", f"rgb_{idx}.png")
+
+    def _depth_path(self, idx):
+        return os.path.join(self.root_dir, "depth", f"depth_{idx}.png")
+
+    def _n_raw_frames(self):
+        return len(os.listdir(os.path.join(self.root_dir, "depth")))
+
+
+class ScanNet(_SequenceDataset):
+    """color/<i>.jpg + depth/<i>.png, natsorted (dataset.py:204-218)."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        import glob
+
+        self.color_paths = sorted(
+            glob.glob(os.path.join(self.root_dir, "color", "*.jpg")),
+            key=_natsort_key,
+        )
+        self.depth_paths = sorted(
+            glob.glob(os.path.join(self.root_dir, "depth", "*.png")),
+            key=_natsort_key,
+        )
+
+    def _rgb_path(self, idx):
+        return self.color_paths[idx]
+
+    def _depth_path(self, idx):
+        return self.depth_paths[idx]
+
+    def _n_raw_frames(self):
+        return len(self.color_paths)
+
+
+def init_loader(dataset, prefetch: int = 2):
+    """Background-thread prefetching iterator (the reference's DataLoader
+    with 4 workers, dataset.py:19-41 — one thread suffices since cv2
+    releases the GIL)."""
+    q: queue.Queue = queue.Queue(maxsize=prefetch)
+    stop = object()
+
+    def worker():
+        try:
+            for i in range(len(dataset)):
+                q.put(dataset[i])
+        finally:
+            q.put(stop)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is stop:
+            break
+        yield item
+
+
+def make_dataset(scene_cfg):
+    """SceneConfig -> dataset instance."""
+    cls = {"Replica": Replica, "ScanNet": ScanNet}[scene_cfg.dataset_format]
+    return cls(
+        scene_cfg.dataset_dir,
+        start=scene_cfg.start,
+        stride=scene_cfg.stride,
+        depth_scale=scene_cfg.depth_scale,
+        max_depth=scene_cfg.max_depth,
+        part_mode=scene_cfg.train.part_mode,
+        part_down=scene_cfg.train.part_down,
+    )

@@ -1,0 +1,249 @@
+"""Training entry point: config-driven incremental multi-object mapping.
+
+The TPU-native counterpart of /root/reference/objnerf/train.py:
+
+    python -m openobj_tpu.train --config configs/replica/room_0.json \
+        --logdir logs/room_0 [--class-features class_feats.npz]
+
+Per frame: ingest (frame store + keyframe policy) then ONE jitted device
+program (sampling + n_iters optimizer steps). At n_vis_iter cadence and at
+the end (reference train.py:491): open-vocab semantic assignment
+(train.py:497-526), per-object checkpoints + camera pose (train.py:529-541),
+optional whole-dataset rendering (rgb/depth/maskid PNGs, train.py:550-612),
+optional meshing + OBJ export (train.py:617-652).
+
+Class-name CLIP/SBERT features come from a precomputed .npz (names,
+clipfeat [C,512], capfeat [C,384]) or live encoders — this container has no
+model weights, so precomputed-first.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+
+import numpy as np
+
+
+def load_class_features(path: str | None):
+    if path is None:
+        return None
+    z = np.load(path, allow_pickle=True)
+    return {
+        "names": list(z["names"]),
+        "clipfeat": z["clipfeat"].astype(np.float32),
+        "capfeat": z["capfeat"].astype(np.float32),
+    }
+
+
+def assign_all_semantics(mapper, class_feats):
+    """Reference train.py:497-526: reserved ids 0/2/3 -> wall/floor/ceiling
+    class indices; others via DBSCAN-majority features + caption-confident
+    argmax."""
+    from openobj_tpu.viz.query import assign_semantics
+
+    names = class_feats["names"]
+    mapping = {}
+    reserved = {0: "wall", 2: "floor", 3: "ceiling"}
+    for inst_id, cname in reserved.items():
+        if cname in names:
+            mapping[inst_id] = names.index(cname)
+    for inst_id, slot in mapper.registry.inst_to_slot.items():
+        if inst_id in mapping:
+            mapper.registry.slots[slot].semantic_id = mapping[inst_id]
+            continue
+        st = mapper.registry.slots[slot]
+        if not st.clip_feats:
+            continue
+        cid = assign_semantics(
+            np.stack(st.clip_feats), np.stack(st.caption_feats),
+            class_feats["clipfeat"], class_feats["capfeat"],
+        )
+        mapping[inst_id] = cid
+        st.semantic_id = cid
+    if mapper.registry.bg is not None and "wall" in names:
+        mapper.registry.bg.semantic_id = names.index("wall")
+        mapping[0] = names.index("wall")
+    return mapping
+
+
+def save_checkpoints(mapper, log_dir: str, t_wc_last: np.ndarray):
+    """Per-object .npz checkpoints + last camera pose (train.py:529-541)."""
+    from openobj_tpu.core import checkpoint
+    from openobj_tpu.utils.geometry import object_bound_from_keyframes
+
+    cam = mapper.camera
+    for inst_id, slot in mapper.registry.inst_to_slot.items():
+        st = mapper.registry.slots[slot]
+        if st.bbox3d is None or not st.bbox_final:
+            kfs = mapper.registry.kf_frames[slot][: st.n_kf]
+            st.bbox3d = object_bound_from_keyframes(
+                np.asarray(mapper.store.depth[kfs]),
+                np.asarray(mapper.store.inst[kfs]) == inst_id,
+                np.asarray(mapper.store.t_wc[kfs]),
+                cam.fx, cam.fy, cam.cx, cam.cy,
+            )
+        ckpt_dir = os.path.join(log_dir, "ckpt", str(inst_id))
+        checkpoint.save_object_checkpoint(
+            os.path.join(ckpt_dir, f"obj_{inst_id}.npz"),
+            inst_id, mapper.slot_params(slot), mapper.cfg.obj_scale,
+            bbox3d=st.bbox3d, obj_center=st.obj_center,
+            clip_feats=np.stack(st.clip_feats) if st.clip_feats else None,
+            caption_feats=np.stack(st.caption_feats) if st.caption_feats else None,
+            semantic_id=st.semantic_id,
+        )
+    if mapper.cfg.do_bg and mapper.registry.bg_seen:
+        bg = mapper.registry.bg
+        kfs = mapper.registry.bg_kf_frames[: bg.n_kf]
+        bbox = object_bound_from_keyframes(
+            np.asarray(mapper.store.depth[kfs]),
+            np.asarray(mapper.store.inst[kfs]) == 0,
+            np.asarray(mapper.store.t_wc[kfs]),
+            cam.fx, cam.fy, cam.cx, cam.cy,
+        )
+        bg.bbox3d = bbox
+        from openobj_tpu.core import checkpoint as C
+
+        C.save_object_checkpoint(
+            os.path.join(log_dir, "ckpt", "0", "obj_0.npz"),
+            0, mapper.state.bg_params, mapper.cfg.bg_scale,
+            bbox3d=bbox,
+            clip_feats=np.stack(bg.clip_feats) if bg.clip_feats else None,
+            caption_feats=np.stack(bg.caption_feats) if bg.caption_feats else None,
+            semantic_id=bg.semantic_id,
+        )
+    cam_dir = os.path.join(log_dir, "cam_pose")
+    os.makedirs(cam_dir, exist_ok=True)
+    np.savez(os.path.join(cam_dir, "twc_frame.npz"), twc=t_wc_last)
+
+
+def render_dataset(mapper, dataset, log_dir: str, mapping_class: dict,
+                   bg_ids=(0, 2, 3), n_bins: int = 150):
+    """Render every dataset pose through all object fields with z-buffer
+    compositing; write rgb/depth/maskid PNGs (train.py:550-612 — the maskid
+    images are the mIoU-eval artifact)."""
+    import cv2
+    import jax
+
+    from openobj_tpu.core import renderer
+
+    out_dir = os.path.join(log_dir, "render")
+    os.makedirs(out_dir, exist_ok=True)
+    entries = []
+    for inst_id, slot in mapper.registry.inst_to_slot.items():
+        st = mapper.registry.slots[slot]
+        if st.bbox3d is not None:
+            entries.append((inst_id, mapper.slot_params(slot), st))
+    if mapper.cfg.do_bg and mapper.registry.bg is not None \
+            and mapper.registry.bg.bbox3d is not None:
+        entries.append((0, mapper.state.bg_params, mapper.registry.bg))
+
+    key = jax.random.PRNGKey(0)
+    for i in range(len(dataset)):
+        sample = dataset[i]
+        views = {}
+        for inst_id, params, st in entries:
+            key, k = jax.random.split(key)
+            views[inst_id] = renderer.render_object_view(
+                params, st.bbox3d, st.obj_center, sample.t_wc,
+                mapper.cam_dirs, k, n_bins=n_bins,
+            )
+        comp = renderer.composite_views(
+            views, mapping_class, mapper.camera.height, mapper.camera.width,
+            bg_ids=bg_ids,
+        )
+        fid = sample.frame_id
+        cv2.imwrite(os.path.join(out_dir, f"rgb_{fid}.png"),
+                    cv2.cvtColor(comp["rgb"], cv2.COLOR_RGB2BGR))
+        cv2.imwrite(os.path.join(out_dir, f"depth_{fid}.png"),
+                    (comp["depth"] * 1000).astype(np.uint16))
+        cv2.imwrite(os.path.join(out_dir, f"maskid_{fid}.png"),
+                    comp["maskid"].astype(np.uint8))
+
+
+def export_meshes(mapper, log_dir: str, grid_dim: int, live_voxel_size: float,
+                  save_mesh: bool = True, save_pcd: bool = False):
+    """Meshing + OBJ/PLY export per object (train.py:617-652)."""
+    from openobj_tpu.core import meshing
+
+    mesh_dir = os.path.join(log_dir, "scene_mesh")
+    os.makedirs(mesh_dir, exist_ok=True)
+    n = 0
+    for inst_id, slot in mapper.registry.inst_to_slot.items():
+        st = mapper.registry.slots[slot]
+        if st.bbox3d is None:
+            continue
+        dim = meshing.adaptive_grid_dim(st.bbox3d, live_voxel_size, grid_dim)
+        mesh = meshing.mesh_object(
+            mapper.slot_params(slot), st.bbox3d, st.obj_center,
+            grid_dim=dim, with_color=True,
+        )
+        if mesh is None:
+            print(f"meshing failed obj {inst_id}")
+            continue
+        if save_mesh:
+            mesh.export_obj(os.path.join(mesh_dir, f"obj{inst_id}.obj"))
+        n += 1
+    return n
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="openobj_tpu training")
+    parser.add_argument("--config", required=True)
+    parser.add_argument("--logdir", default="./logs/debug")
+    parser.add_argument("--class-features", default=None,
+                        help=".npz with names/clipfeat/capfeat")
+    parser.add_argument("--max-frames", type=int, default=None)
+    args = parser.parse_args(argv)
+
+    from openobj_tpu.config import load_scene_config, make_mapper
+    from openobj_tpu.data.loaders import init_loader, make_dataset
+    from openobj_tpu.utils.profiling import performance_measure, stats
+
+    os.makedirs(args.logdir, exist_ok=True)
+    shutil.copy(args.config, args.logdir)
+    cfg = load_scene_config(args.config)
+    dataset = make_dataset(cfg)
+    n_frames = len(dataset)
+    if args.max_frames:
+        n_frames = min(n_frames, args.max_frames)
+    mapper = make_mapper(cfg, frame_capacity=n_frames + 1)
+    class_feats = load_class_features(args.class_features)
+
+    t_wc_last = np.eye(4)
+    for i, sample in enumerate(init_loader(dataset)):
+        if i >= n_frames:
+            break
+        with performance_measure(f"frame {i}", verbose=False):
+            losses = mapper.process_frame(
+                sample.rgb, sample.depth, sample.inst, sample.t_wc,
+                bboxes=sample.bboxes, partfeat=sample.part_feat,
+                obj_clip=sample.obj_clip, obj_cap=sample.obj_cap,
+            )
+        t_wc_last = sample.t_wc
+        if losses is not None and i % 10 == 0:
+            print(f"frame {i}/{n_frames}: loss {losses[0]:.3f} -> "
+                  f"{losses[-1]:.3f}, objects {mapper.n_objects}")
+
+    mapping_class = {}
+    if class_feats is not None:
+        mapping_class = assign_all_semantics(mapper, class_feats)
+    save_checkpoints(mapper, args.logdir, t_wc_last)
+    vis = cfg.raw.get("vis", {})
+    if bool(vis.get("if_render", 0)):
+        render_dataset(mapper, dataset, args.logdir, mapping_class,
+                       bg_ids=cfg.bg_ids)
+    if bool(vis.get("if_obj", 0)) or cfg.save_mesh:
+        n = export_meshes(mapper, args.logdir, cfg.grid_dim,
+                          cfg.live_voxel_size, cfg.save_mesh, cfg.save_pcd)
+        print(f"exported {n} meshes")
+    summary = {k: round(v["mean_ms"], 1) for k, v in stats().items()}
+    with open(os.path.join(args.logdir, "timing.json"), "w") as f:
+        json.dump(summary, f)
+    print("done:", args.logdir)
+
+
+if __name__ == "__main__":
+    main()

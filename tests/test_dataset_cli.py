@@ -1,0 +1,192 @@
+"""Data-layer + training-CLI integration: write a synthetic Replica-format
+dataset to disk (the reference file contracts), load it through the Replica
+loader, and run the full `openobj_tpu.train` CLI on it."""
+
+import json
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from openobj_tpu.data import synthetic
+from openobj_tpu.data.loaders import Replica, init_loader, process_instance_frame
+from openobj_tpu.eval import evaluate_semantic_maps, miou_from_confusion, psnr
+from openobj_tpu.ops import sampling
+
+
+W, H, FX, FY, CX, CY = 64, 48, 40.0, 40.0, 32.0, 24.0
+
+
+def _unit(rng, n):
+    v = rng.normal(size=n)
+    return v / np.linalg.norm(v)
+
+
+def write_replica_dataset(root, n_raw_frames=40, stride=10, rng=None):
+    """Emit the reference's on-disk contract: rgb/rgb_<i>.png,
+    depth/depth_<i>.png (mm uint16), instance_our/semantic_instance_<i//10>
+    .png (uint16; 0=unknown, 1=wall, 4+=objects), traj_w_c.txt,
+    object_{clipfeat,capfeat}.pkl per assoc frame, partlevel/<i>.npy."""
+    rng = rng or np.random.default_rng(0)
+    for d in ("rgb", "depth", "instance_our", "class_our", "partlevel"):
+        os.makedirs(os.path.join(root, d), exist_ok=True)
+    dirs = np.asarray(sampling.camera_ray_dirs(W, H, FX, FY, CX, CY))
+    scene = synthetic.default_scene(n_spheres=2)
+    feats = {
+        1: (_unit(rng, 512), _unit(rng, 384)),   # wall
+        4: (_unit(rng, 512), _unit(rng, 384)),
+        5: (_unit(rng, 512), _unit(rng, 384)),
+    }
+    poses, clip_pkl, cap_pkl = [], [], []
+    for i in range(n_raw_frames):
+        # arc centered at pi/2 so both spheres stay comfortably in view
+        t_wc = synthetic.orbit_pose(np.pi / 2 - 0.6 + 1.2 * i / n_raw_frames)
+        poses.append(t_wc.reshape(-1))
+        rgb, depth, inst = scene.render(t_wc, dirs)
+        cv2.imwrite(os.path.join(root, "rgb", f"rgb_{i}.png"),
+                    cv2.cvtColor(rgb, cv2.COLOR_RGB2BGR))
+        cv2.imwrite(os.path.join(root, "depth", f"depth_{i}.png"),
+                    (depth * 1000).astype(np.uint16))
+        if i % 10 == 0:
+            ino = i // 10
+            # association-output convention: bg wall = 1, objects 4+
+            inst_img = np.where(inst == 0, 1, inst).astype(np.uint16)
+            cv2.imwrite(
+                os.path.join(root, "instance_our", f"semantic_instance_{ino}.png"),
+                inst_img,
+            )
+            cv2.imwrite(
+                os.path.join(root, "class_our", f"semantic_class_{ino}.png"),
+                inst_img,
+            )
+            present = np.unique(inst_img)
+            clip_pkl.append({int(k): feats[int(k)][0] for k in present if k in feats})
+            cap_pkl.append({int(k): feats[int(k)][1] for k in present if k in feats})
+        np.save(os.path.join(root, "partlevel", f"{i}.npy"),
+                rng.normal(size=(H // 5, W // 5, 8)).astype(np.float32))
+    np.savetxt(os.path.join(root, "traj_w_c.txt"), np.stack(poses), delimiter=" ")
+    for name, data in (("object_clipfeat.pkl", clip_pkl),
+                       ("object_capfeat.pkl", cap_pkl)):
+        with open(os.path.join(root, name), "wb") as f:
+            pickle.dump(data, f)
+    return scene, dirs
+
+
+def _config_json(root, tmp_path):
+    cfg = {
+        "dataset": {"live": 0, "path": root, "format": "Replica", "keep_alive": 20},
+        "optimizer": {"args": {"lr": 0.001, "weight_decay": 0.013}},
+        "trainer": {"part_mode": 1, "part_down": 5, "imap_mode": 0, "start": 0,
+                    "stride": 10, "do_bg": 1, "n_models": 16, "scale": 1000.0},
+        "render": {"depth_range": [0.0, 8.0], "n_bins": 9,
+                   "n_bins_cam2surface": 1, "n_bins_cam2surface_bg": 5,
+                   "iters_per_frame": 15, "n_per_optim": 60,
+                   "n_per_optim_bg": 120},
+        "model": {"n_unidir_funcs": 5, "obj_scale": 2.0, "bg_scale": 5.0,
+                  "color_scaling": 5.0, "opacity_scaling": 10.0,
+                  "surface_eps": 0.1, "other_eps": 0.05,
+                  "keyframe_buffer_size": 8, "keyframe_step": 25,
+                  "keyframe_step_bg": 50, "window_size": 2,
+                  "window_size_bg": 2, "hidden_feature_size": 32,
+                  "hidden_feature_size_bg": 32, "clip_point_feature_size": 8},
+        "camera": {"w": W, "h": H, "fx": FX, "fy": FY, "cx": CX, "cy": CY,
+                   "mw": 0, "mh": 0},
+        "vis": {"if_vis": 0, "if_ckpt": 1, "if_render": 0, "if_obj": 1,
+                "save_pcd": 0, "save_mesh": 1, "bg_id": [0, 2, 3],
+                "n_vis_iter": 9999, "eps_fine_vis": 0.1,
+                "n_bins_fine_vis": 10, "grid_dim": 32,
+                "live_voxel_size": 0.02},
+    }
+    p = str(tmp_path / "cfg.json")
+    with open(p, "w") as f:
+        json.dump(cfg, f)
+    return p
+
+
+class TestInstanceProcessing:
+    def test_remapping_semantics(self):
+        inst = np.zeros((40, 60), np.uint16)
+        inst[:10] = 1            # wall
+        inst[20:35, 20:45] = 4   # object
+        inst[38, 0] = 7          # tiny object -> dropped -> unknown
+        out, bboxes, clip_d, cap_d = process_instance_frame(
+            inst, {1: np.ones(4), 4: np.ones(4) * 2}, {1: np.ones(3), 4: np.ones(3)},
+        )
+        assert (out[:10] == 0).all()           # wall -> bg 0
+        assert (out[20:35, 20:45] == 4).all()  # kept object
+        assert out[38, 0] == -1                # dropped -> unknown
+        assert out[15, 0] == -1                # 0-pixels -> unknown
+        assert 4 in bboxes and 0 in bboxes     # object + bg full-frame
+        assert bboxes[0] == (0, 40, 0, 60)
+        np.testing.assert_array_equal(clip_d[0], np.ones(4))  # wall feats -> bg
+
+
+class TestReplicaLoader:
+    def test_load_and_iterate(self, tmp_path):
+        root = str(tmp_path / "scene")
+        write_replica_dataset(root, n_raw_frames=30)
+        ds = Replica(root, stride=10, part_mode=True, part_down=5)
+        assert len(ds) == 3
+        samples = list(init_loader(ds))
+        assert len(samples) == 3
+        s = samples[0]
+        assert s.rgb.shape == (H, W, 3)
+        assert s.depth.dtype == np.float32 and s.depth.max() < 8.0
+        assert s.part_feat.shape == (H // 5, W // 5, 8)
+        assert set(np.unique(s.inst)) <= {-1, 0, 4, 5}
+        assert 0 in s.bboxes  # bg present
+        assert s.t_wc.shape == (4, 4)
+
+
+class TestTrainCLI:
+    def test_end_to_end(self, tmp_path):
+        from openobj_tpu import train as train_cli
+
+        root = str(tmp_path / "scene")
+        scene, dirs = write_replica_dataset(root, n_raw_frames=40)
+        cfg_path = _config_json(root, tmp_path)
+        # class features for semantic assignment
+        rng = np.random.default_rng(3)
+        names = ["wall", "floor", "ceiling", "ball", "chair"]
+        cf = str(tmp_path / "classes.npz")
+        np.savez(cf, names=np.array(names),
+                 clipfeat=np.stack([_unit(rng, 512) for _ in names]),
+                 capfeat=np.stack([_unit(rng, 384) for _ in names]))
+        logdir = str(tmp_path / "logs")
+        train_cli.main(["--config", cfg_path, "--logdir", logdir,
+                        "--class-features", cf])
+        # checkpoints for bg + 2 objects
+        ckpts = sorted(os.listdir(os.path.join(logdir, "ckpt")))
+        assert "0" in ckpts and len(ckpts) >= 3
+        # meshes exported
+        meshes = os.listdir(os.path.join(logdir, "scene_mesh"))
+        assert len(meshes) >= 1
+        assert os.path.exists(os.path.join(logdir, "cam_pose", "twc_frame.npz"))
+        assert os.path.exists(os.path.join(logdir, "timing.json"))
+
+
+class TestEvalMetrics:
+    def test_psnr(self):
+        a = np.full((8, 8, 3), 0.5)
+        assert psnr(a, a) > 100
+        b = a + 0.1
+        assert 19 < psnr(b, a) < 21  # mse 0.01 -> 20 dB
+
+    def test_miou(self):
+        conf = np.array([[50, 0, 0], [0, 30, 10], [0, 10, 0]])
+        out = miou_from_confusion(conf)
+        # class0 IoU 1.0, class1 30/50, class2 0/20
+        np.testing.assert_allclose(out["miou"], (1.0 + 0.6 + 0.0) / 3)
+        assert 0 < out["fmiou"] < 1
+        np.testing.assert_allclose(out["macc"], (1.0 + 0.75 + 0.0) / 3)
+
+    def test_evaluate_semantic_maps(self):
+        gt = np.array([[0, 1], [2, -1]])
+        pred = np.array([[0, 1], [1, 2]])
+        out = evaluate_semantic_maps([pred], [gt], n_classes=3)
+        # ignore -1; classes 0,1 perfect; class 2 predicted as 1
+        assert out["per_class_iou"][0] == 1.0
+        assert out["per_class_iou"][2] == 0.0
