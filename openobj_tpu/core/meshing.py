@@ -90,7 +90,9 @@ def mesh_object(
     occ = np.asarray(occ, np.float32)
     if occ.max() <= level:
         return None
-    out = marching.marching_tetrahedra(
+    from openobj_tpu import native
+
+    out = native.marching_tetrahedra(
         occ.reshape(grid_dim, grid_dim, grid_dim), level=level
     )
     if out is None:

@@ -41,9 +41,19 @@ class MaskEvidence:
 
 
 def dbscan_largest_cluster(points: np.ndarray, eps: float = 0.05,
-                           min_points: int = 100):
+                           min_points: int = 100, use_native: bool = True):
     """Largest-DBSCAN-cluster denoise with the reference's 3-tier
     min_points fallback (mask_graph.py:244-316). Returns (points, keep_mask)."""
+    if use_native and len(points) > 2000:
+        from openobj_tpu import native
+
+        if native.load() is not None:
+            for mp in (min_points, max(1, min_points // 5),
+                       max(1, min_points // 10)):
+                keep = native.dbscan_largest_raw(points, eps, mp)
+                if keep is not None:
+                    return points[keep], keep
+            return points, np.ones(len(points), bool)
     for mp in (min_points, max(1, min_points // 5), max(1, min_points // 10)):
         if len(points) < 1:
             break

@@ -175,6 +175,8 @@ def object_bound_from_keyframes(
     (reference get_bound, vmap.py:287-379): accumulate -> voxel downsample
     0.05 m -> minimal OBB -> extents floored at 10 cm. Returns None when the
     hull is degenerate (reference's Qhull failure path)."""
+    from openobj_tpu import native
+
     all_pts = []
     for k in range(len(depths)):
         pts = backproject_depth(depths[k], fx, fy, cx, cy, t_wcs[k], masks[k])
@@ -182,7 +184,7 @@ def object_bound_from_keyframes(
             all_pts.append(pts)
     if not all_pts:
         return None
-    pts = voxel_downsample(np.concatenate(all_pts), voxel_size)
+    pts = native.voxel_downsample(np.concatenate(all_pts), voxel_size)
     try:
         return oriented_bounds(pts, min_extent=min_extent)
     except (QhullError, ValueError):
