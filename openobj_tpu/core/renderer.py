@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from openobj_tpu.models import object_field
-from openobj_tpu.ops import rendering, sampling
+from openobj_tpu.ops import mlp, rendering, sampling
 
 
 @partial(
@@ -72,7 +72,8 @@ def render_rays_obb(
         z = 0.5 * (z_edges[..., 1:] + z_edges[..., :-1])  # midpoints
         pts = sampling.rays_to_points(o_c, d_c, z, obj_center)
         a, c, f = object_field.field_apply(
-            params, pts, max_deg=max_deg, do_clip=render_part
+            params, pts, max_deg=max_deg, do_clip=render_part,
+            clip_hidden_only=True,
         )
         occ = rendering.occupancy_activation(a[..., 0])
         w = rendering.occupancy_to_termination(occ)
@@ -81,7 +82,10 @@ def render_rays_obb(
         color = rendering.render(w[..., None], c, axis=-2)
         out = (depth, color, opacity)
         if render_part:
-            out = out + (rendering.render(w[..., None], f, axis=-2),)
+            # composite the h-wide clip hidden, project once per ray (exact:
+            # the clip head is linear — ops.mlp.clip_project)
+            hid = rendering.render(w[..., None], f, axis=-2)
+            out = out + (mlp.clip_project(params["mlp"], hid, opacity=opacity),)
         return out
 
     chunks = jax.lax.map(

@@ -248,9 +248,9 @@ def sample_bg_batch(key, store, cam_dirs, bg_tables, cfg: TrainConfig):
 def _loss_for_slice(params, batch, active, cfg: TrainConfig, is_bg: bool):
     """Forward + step_batch_loss on one iteration's ray slice."""
     if is_bg:
-        pts = batch["points"][None]   # add object axis of 1
         a, c, f = object_field.field_apply(
-            params, batch["points"], max_deg=cfg.max_deg, do_clip=cfg.part_mode
+            params, batch["points"], max_deg=cfg.max_deg, do_clip=cfg.part_mode,
+            clip_hidden_only=True,
         )
         a, c = a[None], c[None]
         f = f[None] if f is not None else None
@@ -261,7 +261,8 @@ def _loss_for_slice(params, batch, active, cfg: TrainConfig, is_bg: bool):
         gt_pf = gt_pf[None] if gt_pf is not None else None
     else:
         a, c, f = object_field.field_apply_stacked(
-            params, batch["points"], max_deg=cfg.max_deg, do_clip=cfg.part_mode
+            params, batch["points"], max_deg=cfg.max_deg, do_clip=cfg.part_mode,
+            clip_hidden_only=True,
         )
         gt_rgb, gt_d = batch["rgb"], batch["depth"]
         state, z = batch["state"], batch["z"]
@@ -274,7 +275,8 @@ def _loss_for_slice(params, batch, active, cfg: TrainConfig, is_bg: bool):
         color_scaling=cfg.color_scaling,
         opacity_scaling=cfg.opacity_scaling,
         gt_partfeat=gt_pf if cfg.part_mode else None,
-        pred_partfeat=f if cfg.part_mode else None,
+        pred_partfeat_hidden=f if cfg.part_mode else None,
+        partfeat_head=params["mlp"] if cfg.part_mode else None,
         partfeat_scaling=cfg.partfeat_scaling,
     )
     return total, per_obj

@@ -64,6 +64,7 @@ def field_apply(
     do_alpha: bool = True,
     do_color: bool = True,
     do_clip: bool = True,
+    clip_hidden_only: bool = False,
 ):
     """Evaluate one object's field at world-frame points [..., 3]."""
     emb1, _ = embedding.embedding_split(max_deg)
@@ -71,6 +72,7 @@ def field_apply(
     return mlp.mlp_apply(
         params["mlp"], emb, emb_size1=emb1,
         do_alpha=do_alpha, do_color=do_color, do_clip=do_clip,
+        clip_hidden_only=clip_hidden_only,
     )
 
 
@@ -81,6 +83,7 @@ def field_apply_stacked(
     do_alpha: bool = True,
     do_color: bool = True,
     do_clip: bool = True,
+    clip_hidden_only: bool = False,
 ):
     """Evaluate all object fields at their own points.
 
@@ -91,6 +94,7 @@ def field_apply_stacked(
         lambda p, x: field_apply(
             p, x, max_deg=max_deg,
             do_alpha=do_alpha, do_color=do_color, do_clip=do_clip,
+            clip_hidden_only=clip_hidden_only,
         )
     )(stacked_params, points)
 

@@ -28,7 +28,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from openobj_tpu.ops import rendering
+from openobj_tpu.ops import mlp, rendering
 from openobj_tpu.ops.sampling import STATE_OTHER, STATE_THIS, STATE_UNKNOWN  # noqa: F401
 
 
@@ -44,6 +44,8 @@ def step_batch_loss(
     opacity_scaling: float = 10.0,
     gt_partfeat: jnp.ndarray | None = None,   # [O, R, C]
     pred_partfeat: jnp.ndarray | None = None,  # [O, R, P, C]
+    pred_partfeat_hidden: jnp.ndarray | None = None,  # [O, R, P, h]
+    partfeat_head: dict | None = None,         # mlp params with "out_clip"
     partfeat_scaling: float = 5.0,
 ):
     """Returns (scalar total loss, per-object loss [O])."""
@@ -75,10 +77,21 @@ def step_batch_loss(
 
     per_obj = loss_depth + loss_col * color_scaling + loss_opacity * opacity_scaling
 
-    if gt_partfeat is not None and pred_partfeat is not None:
+    render_partfeat = None
+    if gt_partfeat is not None and pred_partfeat_hidden is not None:
+        # Fast path: composite the h-wide clip hidden, then project once per
+        # ray — exact because the clip head is linear (ops.mlp.clip_project).
+        render_hidden = rendering.render(
+            termination[..., None], pred_partfeat_hidden, axis=-2
+        )
+        render_partfeat = mlp.clip_project(
+            partfeat_head, render_hidden, opacity=render_opacity
+        )
+    elif gt_partfeat is not None and pred_partfeat is not None:
         render_partfeat = rendering.render(
             termination[..., None], pred_partfeat, axis=-2
         )
+    if render_partfeat is not None:
         loss_pf_raw = rendering.render_loss(render_partfeat, gt_partfeat, loss="cos")
         loss_pf = rendering.reduce_masked_loss(loss_pf_raw * mask_so, mask_so)
         per_obj = per_obj + loss_pf * partfeat_scaling

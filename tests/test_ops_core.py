@@ -331,3 +331,52 @@ class TestStepBatchLoss:
             gt_partfeat=gt_pf, pred_partfeat=pred_pf,
         )
         assert float(t_pf) != float(t_no)
+
+    def test_partfeat_hidden_path_is_exact(self, key):
+        """The composite-then-project fast path (clip hidden composited, one
+        linear head per ray) must match per-point projection + compositing
+        exactly — the head is linear, so the two orders are algebraically
+        identical (ops.mlp.clip_project)."""
+        from openobj_tpu.ops import mlp as mlp_ops
+
+        O, R, P, H, C = 2, 8, 10, 4, 16
+        alpha, color, gt_d, gt_c, state, z = self._make(key, O=O, R=R, P=P)
+        ks = jax.random.split(key, 4)
+        gt_pf = jax.random.normal(ks[0], (O, R, C))
+        hidden = jax.nn.relu(jax.random.normal(ks[1], (O, R, P, H)))
+        head = {
+            "out_clip": {
+                "w": jax.random.normal(ks[2], (O, H, C)),
+                "b": jax.random.normal(ks[3], (O, C)),
+            }
+        }
+        # legacy path: project every point, then composite inside the loss
+        pred_pf = jnp.einsum("orph,ohc->orpc", hidden, head["out_clip"]["w"]) + \
+            head["out_clip"]["b"][:, None, None, :]
+        t_slow, per_slow = losses.step_batch_loss(
+            alpha, color, gt_d, gt_c, state, z,
+            gt_partfeat=gt_pf, pred_partfeat=pred_pf,
+        )
+        t_fast, per_fast = losses.step_batch_loss(
+            alpha, color, gt_d, gt_c, state, z,
+            gt_partfeat=gt_pf, pred_partfeat_hidden=hidden, partfeat_head=head,
+        )
+        np.testing.assert_allclose(
+            np.asarray(per_fast), np.asarray(per_slow), rtol=2e-5, atol=2e-6
+        )
+
+        # unstacked head (bg path): w [H, C], hidden [1, R, P, H]
+        head1 = {
+            "out_clip": {"w": head["out_clip"]["w"][0], "b": head["out_clip"]["b"][0]}
+        }
+        pred1 = hidden[:1] @ head1["out_clip"]["w"] + head1["out_clip"]["b"]
+        t1, _ = losses.step_batch_loss(
+            alpha[:1], color[:1], gt_d[:1], gt_c[:1], state[:1], z[:1],
+            gt_partfeat=gt_pf[:1], pred_partfeat=pred1,
+        )
+        t2, _ = losses.step_batch_loss(
+            alpha[:1], color[:1], gt_d[:1], gt_c[:1], state[:1], z[:1],
+            gt_partfeat=gt_pf[:1], pred_partfeat_hidden=hidden[:1],
+            partfeat_head=head1,
+        )
+        np.testing.assert_allclose(float(t2), float(t1), rtol=2e-5)
