@@ -60,6 +60,9 @@ class TrainConfig:
     obj_scale: float = 2.0
     bg_scale: float = 5.0
     do_bg: bool = True
+    # "xla" (default) or "pallas": which field forward/backward to use.
+    # See ops.fused_field docstring for the measured tradeoff.
+    field_impl: str = "xla"
 
     @property
     def n_rays_per_step(self) -> int:
@@ -146,98 +149,118 @@ def grow_train_state(
 # --------------------------------------------------------------------------- #
 
 
-def _sample_one_object(
+def _sample_batch(
     key: jax.Array,
     store: FrameStore,
     cam_dirs: jnp.ndarray,     # [H, W, 3]
-    kf_frames: jnp.ndarray,    # [K] frame indices
-    kf_bbox: jnp.ndarray,      # [K, 4] (r0, r1, c0, c1) half-open
-    n_kf: jnp.ndarray,         # [] int32
-    latest2: jnp.ndarray,      # [2] keyframe-slot indices
-    obj_inst: jnp.ndarray,     # [] instance id ("this" pixels)
-    obj_center: jnp.ndarray,   # [3]
+    kf_frames: jnp.ndarray,    # [O, K] frame indices
+    kf_bbox: jnp.ndarray,      # [O, K, 4] (r0, r1, c0, c1) half-open
+    n_kf: jnp.ndarray,         # [O] int32
+    latest2: jnp.ndarray,      # [O, 2] keyframe-slot indices
+    obj_inst: jnp.ndarray,     # [O] instance id ("this" pixels)
+    obj_center: jnp.ndarray,   # [O, 3]
     n_draws: int,
     n_px: int,
     n_bins_c2s: int,
     cfg: TrainConfig,
 ):
-    """Draw (n_draws * n_px) training rays for one object and build the
-    fixed-shape z lattice (reference get_training_samples + sample_3d_points,
-    vmap.py:386-554)."""
+    """Draw (n_draws * n_px) training rays for every object slot at once and
+    build the fixed-shape z lattice (reference get_training_samples +
+    sample_3d_points, vmap.py:386-554).
+
+    TPU note: all pixel fetches are ONE flat row-gather over the object x
+    draw x pixel axes — a vmap-of-advanced-indexing formulation lowered to a
+    pathologically slow batched gather (~90 ms/frame at the room_0 envelope;
+    the flat form is ~100x faster).
+    """
     k_kf, k_u, k_v, k_z = jax.random.split(key, 4)
+    o = kf_frames.shape[0]
+    h, w = store.frame_shape
 
-    n_kf_safe = jnp.maximum(n_kf, 1)
-    draws = jax.random.randint(k_kf, (n_draws,), 0, n_kf_safe)
+    n_kf_safe = jnp.maximum(n_kf, 1)[:, None]
+    draws = jax.random.randint(k_kf, (o, n_draws), 0, n_kf_safe)
     # force the two most recent keyframes into the draw (vmap.py:390-412)
-    forced = jnp.concatenate([draws[:-2], latest2.astype(draws.dtype)])
-    draws = jnp.where(n_kf > 2, forced, draws)
+    forced = jnp.concatenate([draws[:, :-2], latest2.astype(draws.dtype)], axis=1)
+    draws = jnp.where((n_kf > 2)[:, None], forced, draws)
 
-    frames = kf_frames[draws]                       # [D]
-    bbox = kf_bbox[draws]                           # [D, 4]
-    ru = jax.random.uniform(k_u, (n_draws, n_px))
-    rv = jax.random.uniform(k_v, (n_draws, n_px))
-    u = jnp.floor(ru * (bbox[:, 1:2] - bbox[:, 0:1]) + bbox[:, 0:1]).astype(jnp.int32)
-    v = jnp.floor(rv * (bbox[:, 3:4] - bbox[:, 2:3]) + bbox[:, 2:3]).astype(jnp.int32)
+    oix = jnp.arange(o)[:, None]
+    frames = kf_frames[oix, draws]                  # [O, D]
+    bbox = kf_bbox[oix, draws]                      # [O, D, 4]
+    ru = jax.random.uniform(k_u, (o, n_draws, n_px))
+    rv = jax.random.uniform(k_v, (o, n_draws, n_px))
+    u = jnp.floor(
+        ru * (bbox[..., 1:2] - bbox[..., 0:1]) + bbox[..., 0:1]
+    ).astype(jnp.int32)
+    v = jnp.floor(
+        rv * (bbox[..., 3:4] - bbox[..., 2:3]) + bbox[..., 2:3]
+    ).astype(jnp.int32)
 
-    f = frames[:, None]                             # [D, 1]
-    rgb = store.rgb[f, u, v].astype(jnp.float32) / 255.0     # [D, n_px, 3]
-    depth = store.depth[f, u, v]                             # [D, n_px]
-    inst = store.inst[f, u, v]                               # [D, n_px]
+    f = frames[..., None]                           # [O, D, 1]
+    lin = ((f * h + u) * w + v).reshape(-1)         # flat pixel ids
+    rgb = jnp.take(store.rgb.reshape(-1, 3), lin, axis=0).astype(jnp.float32) / 255.0
+    depth = jnp.take(store.depth.reshape(-1), lin).reshape(o, n_draws, n_px)
+    inst = jnp.take(store.inst.reshape(-1), lin).reshape(o, n_draws, n_px)
     state = jnp.where(
-        inst == obj_inst, sampling.STATE_THIS,
+        inst == obj_inst[:, None, None], sampling.STATE_THIS,
         jnp.where(inst == -1, sampling.STATE_UNKNOWN, sampling.STATE_OTHER),
     )
 
-    dirs_c = cam_dirs[u, v]                         # [D, n_px, 3]
-    t_wc = store.t_wc[frames]                       # [D, 4, 4]
-    origins, dirs_w = sampling.origin_dirs_w(t_wc[:, None], dirs_c)
+    dirs_c = jnp.take(
+        cam_dirs.reshape(-1, 3), (u * w + v).reshape(-1), axis=0
+    ).reshape(o, n_draws, n_px, 3)
+    t_wc = store.t_wc[frames]                       # [O, D, 4, 4] (row gather)
+    origins, dirs_w = sampling.origin_dirs_w(t_wc[:, :, None], dirs_c)
 
     z = sampling.sample_z_values(
         k_z, depth, state, cfg.min_depth, n_bins_c2s, cfg.n_bins,
         cfg.surface_eps, cfg.stop_eps,
-    )                                               # [D, n_px, P]
-    points = sampling.rays_to_points(origins, dirs_w, z, obj_center)
+        max_bound=jnp.max(depth, axis=(1, 2), keepdims=True),  # per-object
+    )                                               # [O, D, n_px, P]
+    points = sampling.rays_to_points(
+        origins, dirs_w, z, obj_center[:, None, None, None]
+    )
 
     R = n_draws * n_px
     P = n_bins_c2s + cfg.n_bins
     batch = {
-        "rgb": rgb.reshape(R, 3),
-        "depth": depth.reshape(R),
-        "state": state.reshape(R),
-        "z": z.reshape(R, P),
-        "points": points.reshape(R, P, 3),
+        "rgb": rgb.reshape(o, R, 3),
+        "depth": depth.reshape(o, R),
+        "state": state.reshape(o, R),
+        "z": z.reshape(o, R, P),
+        "points": points.reshape(o, R, P, 3),
     }
     if cfg.part_mode and store.partfeat is not None:
-        pf = store.partfeat[f, u // cfg.part_down, v // cfg.part_down]
-        batch["partfeat"] = pf.reshape(R, -1).astype(jnp.float32)
+        hp, wp = store.partfeat.shape[1], store.partfeat.shape[2]
+        lin_pf = ((f * hp + u // cfg.part_down) * wp + v // cfg.part_down)
+        pf = jnp.take(
+            store.partfeat.reshape(-1, store.partfeat.shape[-1]),
+            lin_pf.reshape(-1), axis=0,
+        )
+        batch["partfeat"] = pf.reshape(o, R, -1).astype(jnp.float32)
     return batch
 
 
 def sample_fg_batch(key, store, cam_dirs, tables, cfg: TrainConfig):
-    """Vmapped over the stacked object axis. tables leaves: [O, ...]."""
-    n_slots = tables["kf_frames"].shape[0]
-    keys = jax.random.split(key, n_slots)
+    """All object slots at once; tables leaves: [O, ...]."""
     n_draws = cfg.n_iters_per_frame * cfg.win_size
-    return jax.vmap(
-        lambda k, kf, bb, nk, l2, oi, oc: _sample_one_object(
-            k, store, cam_dirs, kf, bb, nk, l2, oi, oc,
-            n_draws, cfg.n_samples_per_frame, cfg.n_bins_cam2surface, cfg,
-        )
-    )(
-        keys, tables["kf_frames"], tables["kf_bbox"], tables["n_kf"],
-        tables["latest2"], tables["obj_inst"], tables["obj_center"],
+    return _sample_batch(
+        key, store, cam_dirs, tables["kf_frames"], tables["kf_bbox"],
+        tables["n_kf"], tables["latest2"], tables["obj_inst"],
+        tables["obj_center"],
+        n_draws, cfg.n_samples_per_frame, cfg.n_bins_cam2surface, cfg,
     )
 
 
 def sample_bg_batch(key, store, cam_dirs, bg_tables, cfg: TrainConfig):
     n_draws = cfg.n_iters_per_frame * cfg.win_size_bg
-    return _sample_one_object(
+    batch = _sample_batch(
         key, store, cam_dirs,
-        bg_tables["kf_frames"], bg_tables["kf_bbox"], bg_tables["n_kf"],
-        bg_tables["latest2"], jnp.asarray(0, jnp.int32),
-        jnp.zeros(3, jnp.float32),
+        bg_tables["kf_frames"][None], bg_tables["kf_bbox"][None],
+        bg_tables["n_kf"][None], bg_tables["latest2"][None],
+        jnp.zeros((1,), jnp.int32), jnp.zeros((1, 3), jnp.float32),
         n_draws, cfg.n_samples_per_frame_bg, cfg.n_bins_cam2surface_bg, cfg,
     )
+    return {k: x[0] for k, x in batch.items()}
 
 
 # --------------------------------------------------------------------------- #
@@ -247,11 +270,29 @@ def sample_bg_batch(key, store, cam_dirs, bg_tables, cfg: TrainConfig):
 
 def _loss_for_slice(params, batch, active, cfg: TrainConfig, is_bg: bool):
     """Forward + step_batch_loss on one iteration's ray slice."""
+    if cfg.field_impl == "pallas":
+        from openobj_tpu.ops import fused_field
+
+        def apply_stacked(p, x):
+            return fused_field.field_apply_stacked_fused(
+                p, x, max_deg=cfg.max_deg, do_clip=cfg.part_mode)
+
+        def apply_single(p, x):
+            return fused_field.field_apply_fused(
+                p, x, max_deg=cfg.max_deg, do_clip=cfg.part_mode)
+    else:
+        def apply_stacked(p, x):
+            return object_field.field_apply_stacked(
+                p, x, max_deg=cfg.max_deg, do_clip=cfg.part_mode,
+                clip_hidden_only=True)
+
+        def apply_single(p, x):
+            return object_field.field_apply(
+                p, x, max_deg=cfg.max_deg, do_clip=cfg.part_mode,
+                clip_hidden_only=True)
+
     if is_bg:
-        a, c, f = object_field.field_apply(
-            params, batch["points"], max_deg=cfg.max_deg, do_clip=cfg.part_mode,
-            clip_hidden_only=True,
-        )
+        a, c, f = apply_single(params, batch["points"])
         a, c = a[None], c[None]
         f = f[None] if f is not None else None
         gt_rgb, gt_d = batch["rgb"][None], batch["depth"][None]
@@ -260,10 +301,7 @@ def _loss_for_slice(params, batch, active, cfg: TrainConfig, is_bg: bool):
         gt_pf = batch.get("partfeat")
         gt_pf = gt_pf[None] if gt_pf is not None else None
     else:
-        a, c, f = object_field.field_apply_stacked(
-            params, batch["points"], max_deg=cfg.max_deg, do_clip=cfg.part_mode,
-            clip_hidden_only=True,
-        )
+        a, c, f = apply_stacked(params, batch["points"])
         gt_rgb, gt_d = batch["rgb"], batch["depth"]
         state, z = batch["state"], batch["z"]
         act = active

@@ -109,6 +109,7 @@ def sample_z_values(
     n_bins: int,
     surface_eps: float,
     stop_eps: float,
+    max_bound: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Fixed-shape 3-mode z sampling (reference vmap.py:456-554).
 
@@ -116,7 +117,9 @@ def sample_z_values(
     Returns z [..., n_bins_cam2surface + n_bins]:
 
       * invalid depth (d <= min_bound): all bins stratified in
-        [min_bound, max(depth over the batch)];
+        [min_bound, max_bound] (default: max(depth) over the batch, the
+        reference's per-object batch max vmap.py:493 — pass a per-object
+        keepdims max when depth carries a stacked object axis);
       * valid + this object: front bins stratified in [min_bound, d - eps],
         back bins sorted-normal N(d, (eps/3)^2) clipped +-eps;
       * valid + other/unknown: same front bins, back bins stratified in
@@ -125,7 +128,8 @@ def sample_z_values(
     k_all, k_front, k_this, k_other = jax.random.split(key, 4)
     shape = depth.shape
     total = n_bins_cam2surface + n_bins
-    max_bound = jnp.max(depth)  # batch max (reference vmap.py:493)
+    if max_bound is None:
+        max_bound = jnp.max(depth)  # batch max (reference vmap.py:493)
 
     z_invalid = stratified_bins(k_all, min_bound, max_bound, total, shape)
     z_front = stratified_bins(
