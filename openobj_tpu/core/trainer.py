@@ -236,7 +236,10 @@ def _sample_batch(
             store.partfeat.reshape(-1, store.partfeat.shape[-1]),
             lin_pf.reshape(-1), axis=0,
         )
-        batch["partfeat"] = pf.reshape(o, R, -1).astype(jnp.float32)
+        # stays bf16: the [O, R_total, 512] batch is by far the largest
+        # sampled tensor (1.5 GB/frame at the room_0 envelope in f32); the
+        # loss upcasts the tiny per-step slice
+        batch["partfeat"] = pf.reshape(o, R, -1)
     return batch
 
 

@@ -78,6 +78,8 @@ def step_batch_loss(
     per_obj = loss_depth + loss_col * color_scaling + loss_opacity * opacity_scaling
 
     render_partfeat = None
+    if gt_partfeat is not None:
+        gt_partfeat = gt_partfeat.astype(jnp.float32)  # bf16 store -> f32 math
     if gt_partfeat is not None and pred_partfeat_hidden is not None:
         # Fast path: composite the h-wide clip hidden, then project once per
         # ray — exact because the clip head is linear (ops.mlp.clip_project).
