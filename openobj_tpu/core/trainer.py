@@ -28,6 +28,7 @@ import jax.numpy as jnp
 
 from openobj_tpu.core import optim
 from openobj_tpu.core.frame_store import FrameStore
+from openobj_tpu.parallel import sharding
 from openobj_tpu.models import object_field
 from openobj_tpu.ops import losses, sampling
 
@@ -360,6 +361,14 @@ def train_frame(
             _slice_batch(bg_batch, it * rps_bg, rps_bg, obj_axis=False)
             if bg_batch is not None else None
         )
+        # ray-level data parallelism: under a ('data', 'object') mesh
+        # (jax.set_mesh + parallel.sharding.make_mesh_2d) each step's ray
+        # slice shards over 'data'; grad psums follow from the shardings.
+        fg_sl = {k: sharding.maybe_constrain(v, "object", "data")
+                 for k, v in fg_sl.items()}
+        if bg_sl is not None:
+            bg_sl = {k: sharding.maybe_constrain(v, "data")
+                     for k, v in bg_sl.items()}
 
         def loss_fn(ps):
             total, _ = _loss_for_slice(ps["fg"], fg_sl, active, cfg, is_bg=False)

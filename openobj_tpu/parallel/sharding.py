@@ -35,6 +35,35 @@ def make_mesh(devices=None, axis_names=("object",), shape=None) -> Mesh:
     return Mesh(dev_array, axis_names)
 
 
+def make_mesh_2d(devices=None, n_data: int = 2) -> Mesh:
+    """2D ('data', 'object') mesh: object slots shard over 'object', the
+    per-step ray batches over 'data' (gradients psum over 'data'
+    automatically from the shardings). Activate with
+    ``with jax.set_mesh(mesh): ...`` around train_frame calls so the
+    in-graph constraints (``maybe_constrain``) see the axes."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if n % n_data:
+        raise ValueError(f"{n} devices not divisible by data axis {n_data}")
+    dev_array = np.asarray(devices).reshape(n_data, n // n_data)
+    return Mesh(dev_array, ("data", "object"))
+
+
+def maybe_constrain(x, *axes: str):
+    """Sharding-constrain leading axes of ``x`` by mesh axis name, for every
+    requested axis the ambient (jax.set_mesh) mesh actually has with size >
+    1. No-op when no mesh is active — so jitted library code can embed
+    constraints without forcing callers to think about meshes."""
+    mesh = jax.sharding.get_abstract_mesh()
+    names = tuple(getattr(mesh, "axis_names", ()) or ())
+    spec = tuple(
+        a if (a in names and mesh.shape[a] > 1) else None for a in axes
+    )
+    if not any(s is not None for s in spec):
+        return x
+    return jax.lax.with_sharding_constraint(x, P(*spec))
+
+
 def object_sharding(mesh: Mesh) -> NamedSharding:
     """Leading-axis sharding over the 'object' mesh axis."""
     return NamedSharding(mesh, P("object"))

@@ -106,3 +106,64 @@ class TestShardedParity:
         np.testing.assert_allclose(
             np.asarray(losses_single), np.asarray(losses_sharded), rtol=2e-5
         )
+
+    def test_2d_mesh_ray_dp_matches(self, eight_devices, key):
+        """('data', 'object') mesh: per-step ray slices shard over 'data'
+        (trainer.maybe_constrain path); losses must match the single-device
+        run to float tolerance."""
+        from openobj_tpu.core import trainer
+        from openobj_tpu.core.frame_store import append_frame, init_frame_store
+        from openobj_tpu.core.scene import Camera
+
+        cfg = trainer.TrainConfig(
+            n_iters_per_frame=2, win_size=2, n_samples_per_frame=8,
+            win_size_bg=2, n_samples_per_frame_bg=8,
+            hidden=16, hidden_bg=16, clip_size=4,
+        )
+        cam = Camera(width=32, height=24, fx=20.0, fy=20.0, cx=16.0, cy=12.0)
+        state = trainer.init_train_state(key, cfg, n_slots=8)
+        store = init_frame_store(2, 24, 32)
+        rng = np.random.default_rng(0)
+        store, _ = append_frame(
+            store,
+            rng.integers(0, 255, (24, 32, 3)).astype(np.uint8),
+            rng.uniform(0.5, 3.0, (24, 32)).astype(np.float32),
+            rng.integers(-1, 4, (24, 32)).astype(np.int32),
+            np.eye(4, dtype=np.float32),
+        )
+        tables = {
+            "kf_frames": jnp.zeros((8, 2), jnp.int32),
+            "kf_bbox": jnp.tile(jnp.asarray([0, 24, 0, 32], jnp.float32), (8, 2, 1)),
+            "n_kf": jnp.ones((8,), jnp.int32),
+            "latest2": jnp.zeros((8, 2), jnp.int32),
+            "active": jnp.ones((8,), bool),
+            "obj_inst": jnp.arange(8, dtype=jnp.int32),
+            "obj_center": jnp.zeros((8, 3), jnp.float32),
+        }
+        bg_tables = {
+            "kf_frames": tables["kf_frames"][0],
+            "kf_bbox": tables["kf_bbox"][0],
+            "n_kf": jnp.asarray(1, jnp.int32),
+            "latest2": tables["latest2"][0],
+        }
+        cam_dirs = cam.ray_dirs()
+        k = jax.random.PRNGKey(7)
+
+        state_copy = jax.tree.map(lambda x: x.copy(), state)
+        _, losses_single = trainer.train_frame(
+            state_copy, store, cam_dirs, tables, bg_tables, k, cfg
+        )
+
+        mesh = sharding.make_mesh_2d(eight_devices, n_data=2)
+        assert dict(mesh.shape) == {"data": 2, "object": 4}
+        s_state, s_tables, s_store = sharding.shard_scene(mesh, state, tables, store)
+        with jax.set_mesh(mesh):
+            new_state, losses_2d = trainer.train_frame(
+                s_state, s_store, cam_dirs, s_tables, bg_tables, k, cfg
+            )
+        np.testing.assert_allclose(
+            np.asarray(losses_single), np.asarray(losses_2d), rtol=2e-5
+        )
+        # params still sharded over object after the step
+        leaf = jax.tree.leaves(new_state.fg_params)[0]
+        assert len(leaf.sharding.device_set) >= 4
