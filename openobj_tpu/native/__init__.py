@@ -19,18 +19,35 @@ _SRC = os.path.join(_DIR, "geometry.cc")
 _LIB_PATH = os.path.join(_DIR, "_geometry.so")
 _lib = None
 _tried = False
+_louvain_lib = None
+_louvain_tried = False
 
 
-def _build() -> bool:
+def _build_so(src: str, lib_path: str) -> bool:
     try:
         subprocess.run(
             ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-             _SRC, "-o", _LIB_PATH],
+             src, "-o", lib_path],
             check=True, capture_output=True, timeout=120,
         )
         return True
     except Exception:
         return False
+
+
+def _build() -> bool:
+    return _build_so(_SRC, _LIB_PATH)
+
+
+def _load_so(src: str, lib_path: str):
+    if (not os.path.exists(lib_path)
+            or os.path.getmtime(lib_path) < os.path.getmtime(src)):
+        if not _build_so(src, lib_path):
+            return None
+    try:
+        return ctypes.CDLL(lib_path)
+    except OSError:
+        return None
 
 
 def load():
@@ -41,13 +58,8 @@ def load():
     if _tried:
         return None
     _tried = True
-    if (not os.path.exists(_LIB_PATH)
-            or os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC)):
-        if not _build():
-            return None
-    try:
-        lib = ctypes.CDLL(_LIB_PATH)
-    except OSError:
+    lib = _load_so(_SRC, _LIB_PATH)
+    if lib is None:
         return None
 
     lib.marching_tetrahedra.restype = ctypes.c_int
@@ -156,3 +168,59 @@ def dbscan_largest_cluster(points: np.ndarray, eps: float, min_points: int):
             return d(points, eps, min_points, use_native=False)
         return points, np.ones(len(points), bool)
     return points[mask], mask
+
+
+# --------------------------------------------------------------------------- #
+# Louvain community detection (louvain.cc)
+# --------------------------------------------------------------------------- #
+
+
+def load_louvain():
+    global _louvain_lib, _louvain_tried
+    if _louvain_lib is not None:
+        return _louvain_lib
+    if _louvain_tried:
+        return None
+    _louvain_tried = True
+    src = os.path.join(_DIR, "louvain.cc")
+    lib = _load_so(src, os.path.join(_DIR, "_louvain.so"))
+    if lib is None:
+        return None
+    lib.louvain.restype = ctypes.c_int64
+    lib.louvain.argtypes = [
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_double, ctypes.c_uint64, ctypes.POINTER(ctypes.c_int64),
+    ]
+    _louvain_lib = lib
+    return lib
+
+
+def louvain_labels(
+    edges_i: np.ndarray,
+    edges_j: np.ndarray,
+    edges_w: np.ndarray,
+    n_nodes: int,
+    resolution: float = 1.0,
+    seed: int = 0,
+) -> np.ndarray | None:
+    """Community label per node from weighted undirected edges, via the
+    native Louvain (louvain.cc). None when the library is unavailable —
+    callers fall back to networkx (perception.graph.louvain_cluster)."""
+    lib = load_louvain()
+    if lib is None:
+        return None
+    ei = np.ascontiguousarray(edges_i, np.int64)
+    ej = np.ascontiguousarray(edges_j, np.int64)
+    ew = np.ascontiguousarray(edges_w, np.float64)
+    labels = np.empty(n_nodes, np.int64)
+    k = lib.louvain(
+        ei.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ej.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ew.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        len(ei), n_nodes, ctypes.c_double(resolution),
+        ctypes.c_uint64(seed), labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    if k < 0:
+        raise ValueError("louvain: edge index out of range")
+    return labels

@@ -58,13 +58,27 @@ def build_adjacency(
 
 
 def louvain_cluster(
-    adj: np.ndarray, weighted: np.ndarray, seed: int = 0, method: str = "Louvain"
+    adj: np.ndarray, weighted: np.ndarray, seed: int = 0,
+    method: str = "Louvain", use_native: bool = True,
 ) -> list[int]:
-    """Cluster ids per node (mask), from weighted community detection."""
+    """Cluster ids per node (mask), from weighted community detection.
+
+    Louvain runs in the native C++ implementation (native/louvain.cc) when
+    available — the association graph for a full scene has thousands of
+    masks, where the pure-Python pass is the perception stage's hot spot —
+    with a networkx fallback."""
     m = adj.shape[0]
+    ii, jj = np.nonzero(np.triu(adj, 1))
+    if method == "Louvain" and use_native:
+        from openobj_tpu import native
+
+        labels = native.louvain_labels(
+            ii, jj, weighted[ii, jj], m, seed=seed + 1
+        )
+        if labels is not None:
+            return [int(x) for x in labels]
     g = nx.Graph()
     g.add_nodes_from(range(m))
-    ii, jj = np.nonzero(np.triu(adj, 1))
     g.add_weighted_edges_from(
         (int(a), int(b), float(weighted[a, b])) for a, b in zip(ii, jj)
     )

@@ -73,3 +73,98 @@ class TestNativeDbscan:
         assert native.dbscan_largest_raw(pts, 0.1, 10) is None
         kept, mask = native.dbscan_largest_cluster(pts, 0.1, 10)
         assert mask.all()
+
+
+class TestNativeLouvain:
+    def _modularity(self, ii, jj, ww, labels, n):
+        import networkx as nx
+        g = nx.Graph()
+        g.add_nodes_from(range(n))
+        g.add_weighted_edges_from(zip(ii.tolist(), jj.tolist(), ww.tolist()))
+        comms = {}
+        for u, l in enumerate(labels):
+            comms.setdefault(l, set()).add(u)
+        return nx.community.modularity(g, comms.values(), weight="weight")
+
+    def test_two_cliques_separate(self):
+        from openobj_tpu import native
+        if native.load_louvain() is None:
+            pytest.skip("native louvain unavailable")
+        # two 5-cliques joined by one weak edge
+        edges = []
+        for base in (0, 5):
+            for a in range(5):
+                for b in range(a + 1, 5):
+                    edges.append((base + a, base + b, 1.0))
+        edges.append((0, 5, 0.01))
+        ii, jj, ww = (np.asarray(x) for x in zip(*edges))
+        labels = native.louvain_labels(ii, jj, ww, 10)
+        assert len(set(labels[:5])) == 1
+        assert len(set(labels[5:])) == 1
+        assert labels[0] != labels[5]
+
+    def test_modularity_competitive_with_networkx(self):
+        from openobj_tpu import native
+        from openobj_tpu.perception import graph as G
+        if native.load_louvain() is None:
+            pytest.skip("native louvain unavailable")
+        rng = np.random.default_rng(0)
+        # planted partition: 4 groups of 20, p_in=0.5, p_out=0.03
+        n, k = 80, 4
+        gt = np.repeat(np.arange(k), n // k)
+        edges = []
+        for a in range(n):
+            for b in range(a + 1, n):
+                p = 0.5 if gt[a] == gt[b] else 0.03
+                if rng.random() < p:
+                    edges.append((a, b, rng.uniform(0.5, 1.5)))
+        ii, jj, ww = (np.asarray(x) for x in zip(*edges))
+        labels = native.louvain_labels(ii, jj, ww, n)
+        q_native = self._modularity(ii, jj, ww, labels, n)
+
+        adj = np.zeros((n, n), bool)
+        wmat = np.zeros((n, n))
+        adj[ii, jj] = adj[jj, ii] = True
+        wmat[ii, jj] = wmat[jj, ii] = ww
+        nx_labels = G.louvain_cluster(adj, wmat, use_native=False)
+        q_nx = self._modularity(ii, jj, ww, np.asarray(nx_labels), n)
+        assert q_native >= 0.95 * q_nx
+        assert q_native > 0.3
+
+    def test_deterministic(self):
+        from openobj_tpu import native
+        if native.load_louvain() is None:
+            pytest.skip("native louvain unavailable")
+        rng = np.random.default_rng(1)
+        ii = rng.integers(0, 30, 200)
+        jj = rng.integers(0, 30, 200)
+        ww = rng.uniform(0.1, 1.0, 200)
+        a = native.louvain_labels(ii, jj, ww, 30, seed=5)
+        b = native.louvain_labels(ii, jj, ww, 30, seed=5)
+        np.testing.assert_array_equal(a, b)
+
+    def test_isolated_nodes(self):
+        from openobj_tpu import native
+        if native.load_louvain() is None:
+            pytest.skip("native louvain unavailable")
+        labels = native.louvain_labels(
+            np.asarray([0, 1]), np.asarray([1, 2]), np.asarray([1.0, 1.0]), 6
+        )
+        assert len(labels) == 6
+        # nodes 3..5 isolated: own communities
+        assert len({labels[3], labels[4], labels[5]}) == 3
+
+    def test_graph_module_uses_native(self):
+        from openobj_tpu import native
+        from openobj_tpu.perception import graph as G
+        if native.load_louvain() is None:
+            pytest.skip("native louvain unavailable")
+        adj = np.zeros((6, 6), bool)
+        w = np.zeros((6, 6))
+        for a, b in [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5)]:
+            adj[a, b] = adj[b, a] = True
+            w[a, b] = w[b, a] = 2.0
+        ids = G.louvain_cluster(adj, w)
+        assert ids[0] == ids[1] == ids[2]
+        assert ids[3] == ids[4] == ids[5]
+        assert ids[0] != ids[3]
