@@ -64,6 +64,8 @@ class TrainConfig:
     # "xla" (default) or "pallas": which field forward/backward to use.
     # See ops.fused_field docstring for the measured tradeoff.
     field_impl: str = "xla"
+    # "f32" or "bf16": MLP matmul operand precision (f32 masters + accum).
+    compute_dtype: str = "f32"
 
     @property
     def n_rays_per_step(self) -> int:
@@ -288,12 +290,12 @@ def _loss_for_slice(params, batch, active, cfg: TrainConfig, is_bg: bool):
         def apply_stacked(p, x):
             return object_field.field_apply_stacked(
                 p, x, max_deg=cfg.max_deg, do_clip=cfg.part_mode,
-                clip_hidden_only=True)
+                clip_hidden_only=True, compute_dtype=cfg.compute_dtype)
 
         def apply_single(p, x):
             return object_field.field_apply(
                 p, x, max_deg=cfg.max_deg, do_clip=cfg.part_mode,
-                clip_hidden_only=True)
+                clip_hidden_only=True, compute_dtype=cfg.compute_dtype)
 
     if is_bg:
         a, c, f = apply_single(params, batch["points"])

@@ -65,6 +65,7 @@ def field_apply(
     do_color: bool = True,
     do_clip: bool = True,
     clip_hidden_only: bool = False,
+    compute_dtype: str = "f32",
 ):
     """Evaluate one object's field at world-frame points [..., 3]."""
     emb1, _ = embedding.embedding_split(max_deg)
@@ -72,7 +73,7 @@ def field_apply(
     return mlp.mlp_apply(
         params["mlp"], emb, emb_size1=emb1,
         do_alpha=do_alpha, do_color=do_color, do_clip=do_clip,
-        clip_hidden_only=clip_hidden_only,
+        clip_hidden_only=clip_hidden_only, compute_dtype=compute_dtype,
     )
 
 
@@ -84,6 +85,7 @@ def field_apply_stacked(
     do_color: bool = True,
     do_clip: bool = True,
     clip_hidden_only: bool = False,
+    compute_dtype: str = "f32",
 ):
     """Evaluate all object fields at their own points.
 
@@ -94,7 +96,7 @@ def field_apply_stacked(
         lambda p, x: field_apply(
             p, x, max_deg=max_deg,
             do_alpha=do_alpha, do_color=do_color, do_clip=do_clip,
-            clip_hidden_only=clip_hidden_only,
+            clip_hidden_only=clip_hidden_only, compute_dtype=compute_dtype,
         )
     )(stacked_params, points)
 

@@ -78,12 +78,17 @@ def init_mlp_params(
     return p
 
 
-def _linear(p: dict, x: jnp.ndarray) -> jnp.ndarray:
+def _linear(p: dict, x: jnp.ndarray, cdt=None) -> jnp.ndarray:
+    if cdt is not None:
+        return jnp.dot(
+            x.astype(cdt), p["w"].astype(cdt),
+            preferred_element_type=jnp.float32,
+        ) + p["b"]
     return x @ p["w"] + p["b"]
 
 
-def _linear_relu(p: dict, x: jnp.ndarray) -> jnp.ndarray:
-    return jax.nn.relu(_linear(p, x))
+def _linear_relu(p: dict, x: jnp.ndarray, cdt=None) -> jnp.ndarray:
+    return jax.nn.relu(_linear(p, x, cdt))
 
 
 def mlp_apply(
@@ -95,12 +100,17 @@ def mlp_apply(
     do_clip: bool = True,
     do_cat: bool = True,
     clip_hidden_only: bool = False,
+    compute_dtype: str = "f32",
 ):
     """Evaluate the field at embedded points.
 
     emb: [..., emb_size1 + emb_size2]
     Returns (alpha [..., 1] | None, color [..., 3] | None,
              clip [..., clip_size] | None).
+
+    compute_dtype "bf16": matmul operands cast to bfloat16 with f32 MXU
+    accumulation (params stay f32 masters; the cast transpose keeps grads
+    f32). PE/loss math stays f32 — this only touches the MLP matmuls.
 
     clip_hidden_only: return the pre-projection clip hidden [..., h] instead
     of the projected [..., clip_size] feature. Because the final clip head is
@@ -113,26 +123,33 @@ def mlp_apply(
     """
     e1 = emb[..., :emb_size1]
     e2 = emb[..., emb_size1:]
+    cdt = jnp.bfloat16 if compute_dtype == "bf16" else None
 
-    h = _linear_relu(params["in_layer"], e1)
-    h = _linear_relu(params["mid1"], h)
+    h = _linear_relu(params["in_layer"], e1, cdt)
+    h = _linear_relu(params["mid1"], h, cdt)
     if do_cat:
-        h = _linear_relu(params["cat_layer"], jnp.concatenate([h, e1], axis=-1))
-    h = _linear_relu(params["mid2"], h)
+        h = _linear_relu(
+            params["cat_layer"], jnp.concatenate([h, e1], axis=-1), cdt
+        )
+    h = _linear_relu(params["mid2"], h, cdt)
 
     alpha = None
     if do_alpha:
-        alpha = _linear(params["out_alpha"], h) * ALPHA_SCALE
+        alpha = _linear(params["out_alpha"], h, cdt) * ALPHA_SCALE
 
     color = None
     if do_color and "out_color" in params:
-        hc = _linear_relu(params["color_linear"], jnp.concatenate([h, e2], axis=-1))
-        color = jax.nn.sigmoid(_linear(params["out_color"], hc))
+        hc = _linear_relu(
+            params["color_linear"], jnp.concatenate([h, e2], axis=-1), cdt
+        )
+        color = jax.nn.sigmoid(_linear(params["out_color"], hc, cdt))
 
     clip = None
     if do_clip and "out_clip" in params:
-        hf = _linear_relu(params["clip_linear"], jnp.concatenate([h, e2], axis=-1))
-        clip = hf if clip_hidden_only else _linear(params["out_clip"], hf)
+        hf = _linear_relu(
+            params["clip_linear"], jnp.concatenate([h, e2], axis=-1), cdt
+        )
+        clip = hf if clip_hidden_only else _linear(params["out_clip"], hf, cdt)
 
     return alpha, color, clip
 

@@ -63,8 +63,13 @@ def render_loss(pred: jnp.ndarray, gt: jnp.ndarray, loss: str = "L1",
         mat = jnp.abs(pred - gt)
     elif loss == "cos":
         num = jnp.sum(pred * gt, axis=-1)
-        den = jnp.linalg.norm(pred, axis=-1) * jnp.linalg.norm(gt, axis=-1)
-        mat = 1.0 - num / jnp.maximum(den, 1e-8)
+        # eps INSIDE the sqrt: jnp.linalg.norm has a NaN gradient at exactly
+        # zero vectors (x/||x|| = 0/0), and an all-transparent ray renders a
+        # zero feature — NaN x masked-0 still poisons the whole step
+        den = jnp.sqrt(jnp.sum(pred**2, axis=-1) + 1e-12) * jnp.sqrt(
+            jnp.sum(gt**2, axis=-1) + 1e-12
+        )
+        mat = 1.0 - num / den
     else:
         raise ValueError(f"loss type {loss} not implemented")
     if normalise:

@@ -332,6 +332,35 @@ class TestStepBatchLoss:
         )
         assert float(t_pf) != float(t_no)
 
+    def test_zero_feature_rays_have_finite_grads(self):
+        """Regression: an all-transparent ray renders a ZERO feature vector;
+        jnp.linalg.norm's gradient at 0 is NaN and poisons the whole step
+        even though the ray is masked (NaN * 0 = NaN). render_loss('cos')
+        must keep an eps inside the sqrt."""
+        O, R, P, C = 1, 4, 5, 8
+        alpha = jnp.full((O, R, P), -500.0)   # occupancy ~ 0
+        color = jnp.full((O, R, P, 3), 0.5)
+        gt_d = jnp.ones((O, R))
+        gt_c = jnp.full((O, R, 3), 0.5)
+        state = jnp.ones((O, R), jnp.int32)
+        z = jnp.broadcast_to(jnp.linspace(0.5, 2.0, P), (O, R, P))
+        gt_pf = jnp.ones((O, R, C))
+        hidden = jnp.zeros((O, R, P, 4))      # relu-dead clip hidden
+        head = {"out_clip": {"w": jnp.ones((O, 4, C)),
+                             "b": jnp.zeros((O, C))}}
+
+        def f(a, h):
+            t, _ = losses.step_batch_loss(
+                a, color, gt_d, gt_c, state, z,
+                gt_partfeat=gt_pf, pred_partfeat_hidden=h,
+                partfeat_head=head,
+            )
+            return t
+
+        ga, gh = jax.grad(f, argnums=(0, 1))(alpha, hidden)
+        assert bool(jnp.isfinite(ga).all())
+        assert bool(jnp.isfinite(gh).all())
+
     def test_partfeat_hidden_path_is_exact(self, key):
         """The composite-then-project fast path (clip hidden composited, one
         linear head per ray) must match per-point projection + compositing
