@@ -55,15 +55,19 @@ def load_scene_config(path: str) -> SceneConfig:
     mh, mw = cam_c.get("mh", 0), cam_c.get("mw", 0)
     h = cam_c["h"] - 2 * mh
     w = cam_c["w"] - 2 * mw
-    fx = cam_c.get("fx")
-    if fx is None:
-        raise ValueError(
-            "camera intrinsics must be in the config (ScanNet intrinsic-file "
-            "loading lives in data.scannet)"
-        )
+    if "fx" in cam_c:
+        fx, fy, cx, cy = cam_c["fx"], cam_c["fy"], cam_c["cx"], cam_c["cy"]
+    else:
+        # ScanNet: intrinsics live in the scan directory
+        # (reference cfg.py:46-51, intrinsic/intrinsic_depth.txt 4x4)
+        import numpy as np
+
+        k = np.loadtxt(os.path.join(
+            c["dataset"]["path"], "intrinsic", "intrinsic_depth.txt"
+        ))
+        fx, fy, cx, cy = k[0, 0], k[1, 1], k[0, 2], k[1, 2]
     camera = Camera(
-        width=w, height=h, fx=cam_c["fx"], fy=cam_c["fy"],
-        cx=cam_c["cx"] - mw, cy=cam_c["cy"] - mh,
+        width=w, height=h, fx=fx, fy=fy, cx=cx - mw, cy=cy - mh,
     )
 
     tr, md, rd, opt = c["trainer"], c["model"], c["render"], c["optimizer"]["args"]
