@@ -187,3 +187,46 @@ class HFSbertEncoder:
         emb = (out * mask).sum(1) / mask.sum(1)
         emb = emb / emb.norm(dim=-1, keepdim=True)
         return emb.numpy()
+
+
+# --------------------------------------------------------------------------- #
+# caption subject extraction (reference mask_gen.py:429-440)
+# --------------------------------------------------------------------------- #
+
+
+_NLP = None
+_ARTICLES = ("a ", "an ", "the ", "this ", "that ", "some ")
+_BREAKERS = (" with ", " on ", " in ", " at ", " next to ", " under ",
+             " that ", " which ", " is ", " are ", " sitting ", " standing ")
+
+
+def caption_subject(caption: str) -> str:
+    """Leading noun-chunk of a caption (reference mask_gen.py:429-440: the
+    first spaCy noun chunk the sentence STARTS with, else the full caption).
+    Uses spaCy when its model is installed; otherwise a deterministic
+    heuristic (cut at the first verb-ish/prepositional breaker) — adequate
+    for the short TAP captions this feeds."""
+    global _NLP
+    caption = str(caption).strip()
+    if _NLP is None:
+        try:
+            import spacy
+
+            _NLP = spacy.load("en_core_web_sm")
+        except Exception:
+            _NLP = False
+    if _NLP:
+        doc = _NLP(caption)
+        for np_ in doc.noun_chunks:
+            if caption.startswith(str(np_)):
+                return str(np_)
+        return caption
+    # heuristic fallback: keep the leading article + up to the first breaker
+    low = caption.lower()
+    cut = len(caption)
+    for b in _BREAKERS:
+        i = low.find(b)
+        if 0 < i < cut:
+            cut = i
+    head = caption[:cut].strip().rstrip(".,")
+    return head if head else caption

@@ -1,0 +1,139 @@
+"""Stage-1 mask generation driver + online (live-mode) instance tracking."""
+
+import numpy as np
+import pytest
+
+from openobj_tpu.perception import mask_generation as MG
+from openobj_tpu.perception.encoders import caption_subject
+from openobj_tpu.perception.tracking import OnlineInstanceTracker
+
+
+def _fake_models(clip_dim=16, sbert_dim=8):
+    def segmenter(rgb):
+        h, w = rgb.shape[:2]
+        m1 = np.zeros((h, w), bool); m1[5:20, 5:20] = True
+        m2 = np.zeros((h, w), bool); m2[10:30, 25:45] = True
+        m3 = np.zeros((h, w), bool); m3[0:3, 0:3] = True     # tiny -> dropped
+        m4 = np.zeros((h, w), bool); m4[15:18, 15:18] = True  # low score
+        return np.stack([m1, m2, m3, m4]), np.array([0.9, 0.8, 0.95, 0.2])
+
+    def captioner(rgb, bboxes):
+        return [f"a red box number {i} on the floor" for i in range(len(bboxes))]
+
+    def clip_enc(crops):
+        return np.stack([
+            np.full(clip_dim, 1.0 + c.mean() / 255.0) for c in crops
+        ])
+
+    def sbert_enc(texts):
+        return np.stack([np.full(sbert_dim, 1.0 + len(t)) for t in texts])
+
+    return segmenter, captioner, clip_enc, sbert_enc
+
+
+class TestCaptionSubject:
+    def test_leading_noun_chunk_heuristic(self):
+        assert caption_subject("a wooden chair with four legs") == "a wooden chair"
+        assert caption_subject("the red mug on the table") == "the red mug"
+        assert caption_subject("sofa") == "sofa"
+
+
+class TestMaskGeneration:
+    def test_frame_schema_and_filters(self):
+        rng = np.random.default_rng(0)
+        rgb = rng.integers(0, 255, (40, 50, 3)).astype(np.uint8)
+        out = MG.generate_frame_masks(rgb, *_fake_models())
+        # tiny (m3) and low-score (m4) masks dropped -> 2 survive
+        assert len(out["mask"]) == 2
+        assert set(out) == {"mask", "bbox", "caption", "capfeat", "clipfeat"}
+        for m, bb, cf, pf in zip(out["mask"], out["bbox"], out["capfeat"],
+                                 out["clipfeat"]):
+            assert m.dtype == bool and m.shape == (40, 50)
+            r0, r1, c0, c1 = bb
+            assert m[r0:r1, c0:c1].any() and not np.delete(
+                m.reshape(-1), 0).all()
+            np.testing.assert_allclose(np.linalg.norm(cf), 1.0, rtol=1e-5)
+            np.testing.assert_allclose(np.linalg.norm(pf), 1.0, rtol=1e-5)
+        # caption reduced to its leading noun chunk
+        assert all(c == "a red box number" or c.startswith("a red box")
+                   for c in out["caption"])
+
+    def test_rank_order_overlap_resolution(self):
+        h = w = 20
+        m1 = np.zeros((h, w), bool); m1[2:12, 2:12] = True
+        m2 = np.zeros((h, w), bool); m2[8:18, 8:18] = True
+        masks, kept = MG.rank_order_masks(
+            np.stack([m1, m2]), np.array([0.9, 0.5])
+        )
+        # m1 has the higher score: painted last, keeps the overlap
+        areas = {k: m.sum() for k, m in zip(kept, masks)}
+        assert areas[0] == 100          # full m1
+        assert areas[1] == 100 - 16     # m2 minus the overlap
+
+    def test_multi_frame_driver(self, tmp_path):
+        rng = np.random.default_rng(0)
+        frames = [rng.integers(0, 255, (40, 50, 3)).astype(np.uint8)
+                  for _ in range(3)]
+        mi = MG.generate_masks(frames, *_fake_models(), frame_ids=[0, 10, 20])
+        assert sorted(mi) == [0, 10, 20]
+        path = str(tmp_path / "mask_init_all.pkl")
+        MG.save_mask_init(path, mi)
+        from openobj_tpu.perception.encoders import load_mask_init
+
+        assert sorted(load_mask_init(path)) == [0, 10, 20]
+
+
+class TestOnlineTracker:
+    def _frame(self, offset=0.0):
+        """A synthetic box on a flat background at depth 2, box at ~1 m
+        (slightly non-planar — a perfectly flat surface is a degenerate
+        convex hull, the reference's skip path)."""
+        h, w = 60, 80
+        rng = np.random.default_rng(3)
+        depth = np.full((h, w), 2.0, np.float32)
+        mask = np.zeros((h, w), bool)
+        mask[20:40, 30 + int(offset):55 + int(offset)] = True
+        depth[mask] = 1.0 + rng.uniform(0, 0.05, int(mask.sum())).astype(np.float32)
+        return depth, mask
+
+    def _tracker(self):
+        return OnlineInstanceTracker(
+            fx=60.0, fy=60.0, cx=40.0, cy=30.0,
+            min_pixels=50, min_points=10, voxel_size=0.01,
+        )
+
+    def test_new_instance_created_and_reobserved(self):
+        tr = self._tracker()
+        depth, mask = self._frame()
+        img = tr.ingest([mask], [7], depth, np.eye(4))
+        assert 7 in tr.instances
+        assert (img == 7).sum() > 0
+        # reobserve slightly shifted: merged, still id 7
+        depth2, mask2 = self._frame(offset=2)
+        img2 = tr.ingest([mask2], [7], depth2, np.eye(4))
+        assert (img2 == 7).sum() > 0
+        assert tr.instances[7].merge_cnt == 1
+
+    def test_mismatched_reobservation_is_unsure(self):
+        tr = self._tracker()
+        depth, mask = self._frame()
+        tr.ingest([mask], [7], depth, np.eye(4))
+        # same id but a totally different depth -> all points outside box
+        depth2 = np.full_like(depth, 5.0)
+        img2 = tr.ingest([mask], [7], depth2, np.eye(4))
+        assert (img2[mask] == -1).all()
+
+    def test_small_detection_is_background(self):
+        tr = self._tracker()
+        depth, _ = self._frame()
+        tiny = np.zeros_like(depth, bool)
+        tiny[5:9, 5:9] = True
+        img = tr.ingest([tiny], [3], depth, np.eye(4))
+        assert 3 not in tr.instances
+        assert (img == 3).sum() == 0
+
+    def test_zero_id_skipped(self):
+        tr = self._tracker()
+        depth, mask = self._frame()
+        img = tr.ingest([mask], [0], depth, np.eye(4))
+        assert (img == 0).all()
