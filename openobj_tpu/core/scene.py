@@ -49,6 +49,12 @@ def _next_bucket(n: int, lo: int = 8) -> int:
     return b
 
 
+class LossExplosionError(RuntimeError):
+    """Raised when a frame's losses go non-finite or explode (the
+    reference's guard prints and exits, render_rays.py:109-111; raising
+    keeps the host process recoverable — checkpoints can still be written)."""
+
+
 class SceneMapper:
     def __init__(
         self,
@@ -61,6 +67,8 @@ class SceneMapper:
         keyframe_step_bg: float = 50,
         seed: int = 0,
         initial_bucket: int = 8,
+        on_loss_explosion: str = "raise",   # "raise" | "warn" | "ignore"
+        loss_explosion_factor: float = 1e4,
     ):
         self.camera = camera
         self.cfg = cfg
@@ -84,6 +92,8 @@ class SceneMapper:
         self.state = trainer.init_train_state(k0, cfg, n_slots=initial_bucket)
         self.frame_count = 0
         self.loss_history: list[float] = []
+        self.on_loss_explosion = on_loss_explosion
+        self.loss_explosion_factor = loss_explosion_factor
 
     # ------------------------------------------------------------------ #
 
@@ -177,8 +187,28 @@ class SceneMapper:
             return None
 
         losses = self._train_once()
+        self._check_losses(losses)
         self.loss_history.append(float(losses[-1]))
         return losses
+
+    def _check_losses(self, losses: np.ndarray):
+        """Failure detection (reference render_rays.py:109-111): non-finite
+        losses, or a frame ending > loss_explosion_factor x its running
+        median, signal divergence."""
+        if self.on_loss_explosion == "ignore":
+            return
+        last = float(losses[-1])
+        bad = not np.isfinite(losses).all()
+        if not bad and len(self.loss_history) >= 3:
+            med = float(np.median(self.loss_history[-20:]))
+            bad = med > 0 and last > self.loss_explosion_factor * med
+        if bad:
+            msg = (f"loss explosion at frame {self.frame_count}: "
+                   f"last={last!r}, history tail="
+                   f"{[round(x, 3) for x in self.loss_history[-3:]]}")
+            if self.on_loss_explosion == "raise":
+                raise LossExplosionError(msg)
+            print(f"[openobj_tpu] WARNING: {msg}")
 
     def _train_once(self):
         fg_tables = self._fg_tables_device()

@@ -233,3 +233,41 @@ class TestAdamWParity:
         np.testing.assert_allclose(
             np.asarray(params["w"]), tw.detach().numpy(), rtol=1e-5, atol=1e-7
         )
+
+
+class TestLossGuard:
+    def test_nonfinite_losses_raise(self, key):
+        """Failure detection: a NaN frame loss raises LossExplosionError
+        (the reference prints and exits, render_rays.py:109-111)."""
+        from openobj_tpu.core.scene import Camera, LossExplosionError, SceneMapper
+        from openobj_tpu.core import trainer as T
+
+        cfg = T.TrainConfig(
+            n_iters_per_frame=2, win_size=2, n_samples_per_frame=4,
+            win_size_bg=2, n_samples_per_frame_bg=4,
+            hidden=8, hidden_bg=8, clip_size=4, do_bg=False,
+        )
+        cam = Camera(width=16, height=12, fx=10.0, fy=10.0, cx=8.0, cy=6.0)
+        m = SceneMapper(cam, cfg, frame_capacity=4, max_objects=4,
+                        initial_bucket=4)
+        rng = np.random.default_rng(0)
+        rgb = rng.integers(0, 255, (12, 16, 3)).astype(np.uint8)
+        depth = rng.uniform(0.5, 2.0, (12, 16)).astype(np.float32)
+        inst = np.full((12, 16), 5, np.int32)
+        m.process_frame(rgb, depth, inst, np.eye(4, dtype=np.float32))
+
+        # poison the params so the next frame's loss is NaN
+        m.state.fg_params = jax.tree.map(
+            lambda x: x * jnp.nan, m.state.fg_params
+        )
+        with pytest.raises(LossExplosionError):
+            m.process_frame(rgb, depth, inst, np.eye(4, dtype=np.float32))
+
+        # warn mode does not raise
+        m2 = SceneMapper(cam, cfg, frame_capacity=4, max_objects=4,
+                         initial_bucket=4, on_loss_explosion="warn")
+        m2.process_frame(rgb, depth, inst, np.eye(4, dtype=np.float32))
+        m2.state.fg_params = jax.tree.map(
+            lambda x: x * jnp.nan, m2.state.fg_params
+        )
+        m2.process_frame(rgb, depth, inst, np.eye(4, dtype=np.float32))
