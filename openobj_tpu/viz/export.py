@@ -10,6 +10,7 @@ layer."""
 from __future__ import annotations
 
 import gzip
+import os
 import pickle
 
 import numpy as np
@@ -82,3 +83,82 @@ def export_scene_map(
     if path:
         save_map_bundle(path, out)
     return out
+
+
+def export_from_checkpoints(
+    ckpt_root: str,
+    out_path: str,
+    hidden: int = 32,
+    hidden_bg: int = 128,
+    clip_size: int = 512,
+    max_deg: int = 5,
+    grid_dim: int = 128,
+    live_voxel_size: float = 0.005,
+    bg_id: int = 0,
+) -> dict[int, dict]:
+    """Checkpoint directory -> map_vis bundle (the reference's standalone
+    gen_map_vis.py flow, :64-146: load every ckpt/<id>/obj_<id> checkpoint,
+    mesh with vertex colors + part features, bundle).
+
+    ``ckpt_root`` is the training CLI's <logdir>/ckpt with one
+    subdirectory per object id.
+    """
+    import glob as _glob
+    import re
+
+    from openobj_tpu.core import checkpoint, meshing
+    from openobj_tpu.models import object_field
+
+    import jax
+
+    paths = sorted(_glob.glob(os.path.join(ckpt_root, "*", "obj_*.npz")))
+    if not paths:
+        raise FileNotFoundError(f"no obj_<id>.npz checkpoints under {ckpt_root}")
+    out: dict[int, dict] = {}
+    templates = {}
+    for p in paths:
+        oid = int(re.search(r"obj_(\d+)\.npz$", p).group(1))
+        is_bg = oid == bg_id
+        h = hidden_bg if is_bg else hidden
+        if h not in templates:
+            templates[h] = object_field.init_field_params(
+                jax.random.PRNGKey(0), hidden=h, clip_size=clip_size,
+                scale=1.0, max_deg=max_deg,
+            )
+        ck = checkpoint.load_object_checkpoint(p, templates[h])
+        if ck["bbox"] is None:
+            continue
+        dim = meshing.adaptive_grid_dim(ck["bbox"], live_voxel_size, grid_dim)
+        entry = export_object_entry(
+            ck["params"], ck["bbox"], ck["obj_center"],
+            ck["clip_feats"], ck["caption_feats"], ck["semantic_id"],
+            grid_dim=dim, is_bg=is_bg, max_deg=max_deg,
+        )
+        if entry is not None:
+            out[oid] = entry
+    if out_path:
+        save_map_bundle(out_path, out)
+    return out
+
+
+def _main(argv=None):
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        description="checkpoints -> map_vis bundle (reference gen_map_vis.py)")
+    ap.add_argument("ckpt_root", help="<logdir>/ckpt directory")
+    ap.add_argument("--out", default="map_vis.pkl.gz")
+    ap.add_argument("--grid-dim", type=int, default=128)
+    ap.add_argument("--hidden", type=int, default=32)
+    ap.add_argument("--hidden-bg", type=int, default=128)
+    ap.add_argument("--clip-size", type=int, default=512)
+    args = ap.parse_args(argv)
+    out = export_from_checkpoints(
+        args.ckpt_root, args.out, hidden=args.hidden, hidden_bg=args.hidden_bg,
+        clip_size=args.clip_size, grid_dim=args.grid_dim,
+    )
+    print(f"wrote {args.out} with {len(out)} objects")
+
+
+if __name__ == "__main__":
+    _main()

@@ -167,6 +167,28 @@ class TestTrainCLI:
         assert os.path.exists(os.path.join(logdir, "cam_pose", "twc_frame.npz"))
         assert os.path.exists(os.path.join(logdir, "timing.json"))
 
+        # checkpoints -> map bundle (the reference gen_map_vis.py flow)
+        from openobj_tpu.viz import export as viz_export
+        from openobj_tpu.viz import viewer as viz_viewer
+
+        bundle_path = str(tmp_path / "map_vis.pkl.gz")
+        viz_export._main([
+            os.path.join(logdir, "ckpt"), "--out", bundle_path,
+            "--hidden", "32", "--hidden-bg", "32", "--clip-size", "8",
+            "--grid-dim", "32",
+        ])
+        bundle = viz_export.load_map_bundle(bundle_path)
+        assert len(bundle) >= 1
+        for e in bundle.values():
+            assert e["mesh"]["vertices"].shape[1] == 3
+            assert e["part_feat"].shape[1] == 8
+
+        # bundle -> interactive viewer HTML + query
+        html = str(tmp_path / "viewer.html")
+        viz_viewer.main([bundle_path, "--out-html", html,
+                         "--query", "a ball", "--encoders", "fake"])
+        assert os.path.getsize(html) > 1000
+
 
 class TestEvalMetrics:
     def test_psnr(self):
