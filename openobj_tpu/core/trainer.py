@@ -75,6 +75,16 @@ class TrainConfig:
     def n_rays_per_step_bg(self) -> int:
         return self.win_size_bg * self.n_samples_per_frame_bg  # 1200
 
+    # sample each step's rays inside the optimizer scan instead of
+    # materializing the whole frame's ray batch upfront. Statistically
+    # identical draws (every ray is consumed exactly once either way,
+    # reference train.py:299-332,394-404) and saves the [O, iters*rays, ...]
+    # intermediates (~0.9 GB/frame at the room_0 envelope) — but measured
+    # 2.8x SLOWER on v5e (745 vs 268 ms/frame): the per-invocation RNG +
+    # gather fixed costs dominate at 120-ray granularity. Keep False unless
+    # HBM-bound.
+    sample_per_step: bool = False
+
 
 @jax.tree_util.register_dataclass
 @dataclass
@@ -246,9 +256,13 @@ def _sample_batch(
     return batch
 
 
-def sample_fg_batch(key, store, cam_dirs, tables, cfg: TrainConfig):
-    """All object slots at once; tables leaves: [O, ...]."""
-    n_draws = cfg.n_iters_per_frame * cfg.win_size
+def sample_fg_batch(key, store, cam_dirs, tables, cfg: TrainConfig,
+                    n_iters: int | None = None):
+    """All object slots at once; tables leaves: [O, ...]. ``n_iters``
+    overrides how many optimizer steps' worth of rays to draw (1 for the
+    per-step sampling path)."""
+    n_draws = (n_iters if n_iters is not None
+               else cfg.n_iters_per_frame) * cfg.win_size
     return _sample_batch(
         key, store, cam_dirs, tables["kf_frames"], tables["kf_bbox"],
         tables["n_kf"], tables["latest2"], tables["obj_inst"],
@@ -257,8 +271,10 @@ def sample_fg_batch(key, store, cam_dirs, tables, cfg: TrainConfig):
     )
 
 
-def sample_bg_batch(key, store, cam_dirs, bg_tables, cfg: TrainConfig):
-    n_draws = cfg.n_iters_per_frame * cfg.win_size_bg
+def sample_bg_batch(key, store, cam_dirs, bg_tables, cfg: TrainConfig,
+                    n_iters: int | None = None):
+    n_draws = (n_iters if n_iters is not None
+               else cfg.n_iters_per_frame) * cfg.win_size_bg
     batch = _sample_batch(
         key, store, cam_dirs,
         bg_tables["kf_frames"][None], bg_tables["kf_bbox"][None],
@@ -344,25 +360,42 @@ def train_frame(
     key: jax.Array,
     cfg: TrainConfig,
 ):
-    """One frame's worth of incremental mapping: sample 12k rays/object +
-    120k bg rays once, then scan n_iters optimizer steps over ray slices.
-    Returns (new state, per-iter total losses [n_iters])."""
-    k_fg, k_bg, _ = jax.random.split(key, 3)
-    fg_batch = sample_fg_batch(k_fg, store, cam_dirs, fg_tables, cfg)
+    """One frame's worth of incremental mapping: n_iters optimizer steps
+    under lax.scan, each consuming win*samples rays per object (+ the bg
+    window). Rays are drawn inside the scan by default
+    (cfg.sample_per_step); the pre-sampled whole-frame batch path is kept
+    for debugging/ablation. Returns (new state, per-iter losses)."""
+    k_fg, k_bg, k_scan = jax.random.split(key, 3)
     active = fg_tables["active"]
-    bg_batch = None
-    if cfg.do_bg and state.bg_params is not None:
-        bg_batch = sample_bg_batch(k_bg, store, cam_dirs, bg_tables, cfg)
+    do_bg = cfg.do_bg and state.bg_params is not None
+    fg_batch = bg_batch = None
+    if not cfg.sample_per_step:
+        fg_batch = sample_fg_batch(k_fg, store, cam_dirs, fg_tables, cfg)
+        if do_bg:
+            bg_batch = sample_bg_batch(k_bg, store, cam_dirs, bg_tables, cfg)
 
     rps, rps_bg = cfg.n_rays_per_step, cfg.n_rays_per_step_bg
 
     def opt_step(carry, it):
         st = carry
-        fg_sl = _slice_batch(fg_batch, it * rps, rps, obj_axis=True)
-        bg_sl = (
-            _slice_batch(bg_batch, it * rps_bg, rps_bg, obj_axis=False)
-            if bg_batch is not None else None
-        )
+        if cfg.sample_per_step:
+            k_step_fg, k_step_bg = jax.random.split(
+                jax.random.fold_in(k_scan, it)
+            )
+            fg_sl = sample_fg_batch(
+                k_step_fg, store, cam_dirs, fg_tables, cfg, n_iters=1
+            )
+            bg_sl = (
+                sample_bg_batch(
+                    k_step_bg, store, cam_dirs, bg_tables, cfg, n_iters=1
+                ) if do_bg else None
+            )
+        else:
+            fg_sl = _slice_batch(fg_batch, it * rps, rps, obj_axis=True)
+            bg_sl = (
+                _slice_batch(bg_batch, it * rps_bg, rps_bg, obj_axis=False)
+                if bg_batch is not None else None
+            )
         # ray-level data parallelism: under a ('data', 'object') mesh
         # (jax.set_mesh + parallel.sharding.make_mesh_2d) each step's ray
         # slice shards over 'data'; grad psums follow from the shardings.

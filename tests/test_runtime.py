@@ -271,3 +271,50 @@ class TestLossGuard:
             lambda x: x * jnp.nan, m2.state.fg_params
         )
         m2.process_frame(rgb, depth, inst, np.eye(4, dtype=np.float32))
+
+
+class TestSamplePerStep:
+    def test_per_step_sampling_trains(self, key):
+        """cfg.sample_per_step draws rays inside the scan — losses finite
+        and the state updates (memory-saving alternative path)."""
+        from openobj_tpu.core import trainer as T
+        from openobj_tpu.core.frame_store import append_frame, init_frame_store
+        from openobj_tpu.core.scene import Camera
+
+        cfg = T.TrainConfig(
+            n_iters_per_frame=3, win_size=2, n_samples_per_frame=6,
+            win_size_bg=2, n_samples_per_frame_bg=8,
+            hidden=8, hidden_bg=8, clip_size=4, part_mode=True, part_down=4,
+            sample_per_step=True,
+        )
+        cam = Camera(width=16, height=12, fx=10.0, fy=10.0, cx=8.0, cy=6.0)
+        state = T.init_train_state(key, cfg, n_slots=4)
+        store = init_frame_store(2, 12, 16, part_feat_dim=4, part_down=4)
+        rng = np.random.default_rng(0)
+        store, _ = append_frame(
+            store, rng.integers(0, 255, (12, 16, 3)).astype(np.uint8),
+            rng.uniform(0.5, 2.0, (12, 16)).astype(np.float32),
+            rng.integers(-1, 3, (12, 16)).astype(np.int32),
+            np.eye(4, dtype=np.float32),
+            partfeat=rng.normal(size=(3, 4, 4)).astype(np.float32),
+        )
+        fg = {
+            "kf_frames": jnp.zeros((4, 2), jnp.int32),
+            "kf_bbox": jnp.tile(jnp.asarray([0, 12, 0, 16], jnp.float32), (4, 2, 1)),
+            "n_kf": jnp.ones((4,), jnp.int32),
+            "latest2": jnp.zeros((4, 2), jnp.int32),
+            "active": jnp.asarray([True, True, False, False]),
+            "obj_inst": jnp.arange(1, 5, dtype=jnp.int32),
+            "obj_center": jnp.zeros((4, 3), jnp.float32),
+        }
+        bg = {"kf_frames": fg["kf_frames"][0], "kf_bbox": fg["kf_bbox"][0],
+              "n_kf": jnp.asarray(1, jnp.int32), "latest2": fg["latest2"][0]}
+        p_before = jax.tree.leaves(state.fg_params)[0].copy()
+        state, losses = T.train_frame(
+            state, store, cam.ray_dirs(), fg, bg, jax.random.PRNGKey(1), cfg
+        )
+        assert losses.shape == (3,)
+        assert np.isfinite(np.asarray(losses)).all()
+        assert not np.allclose(
+            np.asarray(jax.tree.leaves(state.fg_params)[0]), np.asarray(p_before)
+        )
