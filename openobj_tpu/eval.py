@@ -78,3 +78,75 @@ def evaluate_renders(pred_rgbs, gt_rgbs, pred_depths=None, gt_depths=None,
     if dl:
         out["depth_l1"] = float(np.mean(dl))
     return out
+
+
+# --------------------------------------------------------------------------- #
+# CLI: evaluate a training run's renders against ground truth
+# --------------------------------------------------------------------------- #
+
+
+def evaluate_run(render_dir: str, gt_rgb_dir: str, gt_depth_dir: str | None,
+                 gt_semantic_dir: str | None, n_classes: int,
+                 depth_scale: float = 1e-3):
+    """Score the train CLI's render artifacts (rgb_<i>.png, depth_<i>.png,
+    maskid_<i>.png — the reference's mIoU-eval convention, train.py:591-611)
+    against a ground-truth directory. Returns {psnr, depth_l1?, miou?...}."""
+    import glob
+    import os
+    import re
+
+    import cv2
+
+    frames = sorted(
+        int(re.search(r"rgb_(\d+)\.png$", p).group(1))
+        for p in glob.glob(os.path.join(render_dir, "rgb_*.png"))
+    )
+    if not frames:
+        raise FileNotFoundError(f"no rgb_<i>.png renders in {render_dir}")
+    pred_rgbs, gt_rgbs, pred_d, gt_d, pred_sem, gt_sem = [], [], [], [], [], []
+    for i in frames:
+        pred_rgbs.append(cv2.imread(os.path.join(render_dir, f"rgb_{i}.png")))
+        gt_rgbs.append(cv2.imread(os.path.join(gt_rgb_dir, f"rgb_{i}.png")))
+        if gt_depth_dir:
+            pd = cv2.imread(os.path.join(render_dir, f"depth_{i}.png"), -1)
+            gd = cv2.imread(os.path.join(gt_depth_dir, f"depth_{i}.png"), -1)
+            pred_d.append(pd.astype(np.float64) * depth_scale)
+            gt_d.append(gd.astype(np.float64) * depth_scale)
+        if gt_semantic_dir:
+            ps = cv2.imread(os.path.join(render_dir, f"maskid_{i}.png"), -1)
+            gs = cv2.imread(
+                os.path.join(gt_semantic_dir, f"semantic_class_{i}.png"), -1
+            )
+            pred_sem.append(ps.astype(np.int64))
+            gt_sem.append(gs.astype(np.int64))
+    out = evaluate_renders(
+        pred_rgbs, gt_rgbs,
+        pred_depths=pred_d or None, gt_depths=gt_d or None,
+    )
+    if pred_sem:
+        out.update(evaluate_semantic_maps(pred_sem, gt_sem, n_classes))
+        out.pop("per_class_iou", None)
+    return out
+
+
+def _main(argv=None):
+    import argparse
+    import json
+
+    ap = argparse.ArgumentParser(
+        description="PSNR / depth-L1 / zero-shot mIoU over a run's renders")
+    ap.add_argument("render_dir", help="<logdir>/render from the train CLI")
+    ap.add_argument("--gt-rgb", required=True)
+    ap.add_argument("--gt-depth", default=None)
+    ap.add_argument("--gt-semantic", default=None,
+                    help="dir of semantic_class_<i>.png GT label images")
+    ap.add_argument("--n-classes", type=int, default=102)
+    ap.add_argument("--depth-scale", type=float, default=1e-3)
+    args = ap.parse_args(argv)
+    out = evaluate_run(args.render_dir, args.gt_rgb, args.gt_depth,
+                       args.gt_semantic, args.n_classes, args.depth_scale)
+    print(json.dumps({k: round(float(v), 4) for k, v in out.items()}))
+
+
+if __name__ == "__main__":
+    _main()

@@ -212,3 +212,31 @@ class TestEvalMetrics:
         # ignore -1; classes 0,1 perfect; class 2 predicted as 1
         assert out["per_class_iou"][0] == 1.0
         assert out["per_class_iou"][2] == 0.0
+
+
+class TestEvalCLI:
+    def test_evaluate_run(self, tmp_path, capsys):
+        import cv2
+        from openobj_tpu import eval as E
+
+        rng = np.random.default_rng(0)
+        rdir, gdir = tmp_path / "render", tmp_path / "gt"
+        sdir = tmp_path / "gtsem"
+        for d in (rdir, gdir, sdir):
+            os.makedirs(d)
+        for i in (0, 10):
+            rgb = rng.integers(0, 255, (24, 32, 3)).astype(np.uint8)
+            cv2.imwrite(str(rdir / f"rgb_{i}.png"), rgb)
+            cv2.imwrite(str(gdir / f"rgb_{i}.png"), rgb)  # identical -> high PSNR
+            d_mm = (rng.uniform(0.5, 3.0, (24, 32)) * 1000).astype(np.uint16)
+            cv2.imwrite(str(rdir / f"depth_{i}.png"), d_mm)
+            cv2.imwrite(str(gdir / f"depth_{i}.png"), d_mm)
+            sem = rng.integers(0, 5, (24, 32)).astype(np.uint16)
+            cv2.imwrite(str(rdir / f"maskid_{i}.png"), sem)
+            cv2.imwrite(str(sdir / f"semantic_class_{i}.png"), sem)
+        E._main([str(rdir), "--gt-rgb", str(gdir), "--gt-depth", str(gdir),
+                 "--gt-semantic", str(sdir), "--n-classes", "6"])
+        out = json.loads(capsys.readouterr().out.strip())
+        assert out["psnr"] > 50
+        assert out["depth_l1"] < 1e-6
+        assert out["miou"] == 1.0
