@@ -196,6 +196,8 @@ def main(argv=None):
     parser.add_argument("--class-features", default=None,
                         help=".npz with names/clipfeat/capfeat")
     parser.add_argument("--max-frames", type=int, default=None)
+    parser.add_argument("--tensorboard", action="store_true",
+                        help="log per-frame scalars via tensorboardX")
     args = parser.parse_args(argv)
 
     from openobj_tpu.config import load_scene_config, make_mapper
@@ -212,6 +214,15 @@ def main(argv=None):
     mapper = make_mapper(cfg, frame_capacity=n_frames + 1)
     class_feats = load_class_features(args.class_features)
 
+    tb = None
+    if args.tensorboard:
+        try:
+            from tensorboardX import SummaryWriter
+
+            tb = SummaryWriter(os.path.join(args.logdir, "tb"))
+        except Exception as e:  # pragma: no cover
+            print(f"tensorboard logging unavailable: {e}")
+
     t_wc_last = np.eye(4)
     for i, sample in enumerate(init_loader(dataset)):
         if i >= n_frames:
@@ -226,6 +237,11 @@ def main(argv=None):
         if losses is not None and i % 10 == 0:
             print(f"frame {i}/{n_frames}: loss {losses[0]:.3f} -> "
                   f"{losses[-1]:.3f}, objects {mapper.n_objects}")
+        if tb is not None and losses is not None:
+            tb.add_scalar("train/frame_loss", float(losses[-1]), i)
+            tb.add_scalar("train/n_objects", mapper.n_objects, i)
+    if tb is not None:
+        tb.close()
 
     mapping_class = {}
     if class_feats is not None:
