@@ -173,3 +173,136 @@ def composite_views(
             zbuf[ok] = this_depth[ok]
     depth = np.where(zbuf >= 100.0, 0.0, zbuf)
     return {"rgb": rgb, "depth": depth, "maskid": maskid, "instid": instid}
+
+
+# --------------------------------------------------------------------------- #
+# batched whole-frame rendering (all objects, one dispatch)
+# --------------------------------------------------------------------------- #
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_bins", "max_deg", "max_hit_rays", "chunk"),
+)
+def render_frame_batched(
+    stacked_params: dict,      # leaves [O, ...] (fg stack or a gathered subset)
+    t_wo: jnp.ndarray,         # [O, 4, 4] OBB->world
+    extents: jnp.ndarray,      # [O, 3]
+    centers: jnp.ndarray,      # [O, 3] object centers (field-frame offsets)
+    active: jnp.ndarray,       # [O] bool
+    origins: jnp.ndarray,      # [N, 3] (one camera: all rows identical)
+    dirs_w: jnp.ndarray,       # [N, 3]
+    key: jax.Array,
+    n_bins: int = 150,
+    max_deg: int = 5,
+    max_hit_rays: int = 65536,
+    chunk: int = 2048,
+    opacity_thresh: float = 0.9,
+    far_extension: float = 0.2,
+):
+    """Render EVERY object of a stack at one pose in a single jitted program
+    and z-buffer composite on device.
+
+    The reference renders per object from Python (train.py:576-594 calling
+    render_2D_syn per object, each internally chunked) — ~50 dispatches per
+    frame and full-frame evaluation per object. Here: one dispatch; each
+    object evaluates only rays that hit its OBB (slab test -> sized nonzero
+    compaction to max_hit_rays, a static cap ~8-25%% of the frame), cutting
+    the field FLOPs by the typical 1/coverage factor.
+
+    Returns {"depth" [N] (inf = no hit), "winner" [N] int32 (index into the
+    stack, -1 = none), "color" [N, 3]}.
+    """
+    o_count = extents.shape[0]
+    n = origins.shape[0]
+    m = max_hit_rays
+
+    r_ow = jnp.swapaxes(t_wo[:, :3, :3], 1, 2)           # world -> obb
+    o_off = origins[None] - t_wo[:, None, :3, 3]         # [O, N, 3]
+    o_obb = jnp.einsum("oij,onj->oni", r_ow, o_off)
+    d_obb = jnp.einsum("oij,nj->oni", r_ow, dirs_w)
+    near, far, hit = jax.vmap(
+        lambda o, d, e: sampling.ray_box_intersection(o, d, -e / 2.0, e / 2.0)
+    )(o_obb, d_obb, extents)
+    hit = hit & active[:, None]
+    near = jnp.maximum(near, 0.0)
+    far = jnp.where(far > near, far, near + 1e-3) + far_extension
+
+    idx = jax.vmap(lambda h: jnp.nonzero(h, size=m, fill_value=n)[0])(hit)
+    valid = idx < n
+    idx_c = jnp.minimum(idx, n - 1)
+    near_g = jnp.take_along_axis(near, idx_c, axis=1)    # [O, M]
+    far_g = jnp.take_along_axis(far, idx_c, axis=1)
+    dirs_g = dirs_w[idx_c]                               # [O, M, 3]
+    origin = origins[0]
+    keys = jax.random.split(key, o_count)
+
+    n_chunks = -(-m // chunk)
+    m_pad = n_chunks * chunk
+
+    def _pad(x, fill=0.0):
+        pad = m_pad - m
+        if pad == 0:
+            return x
+        return jnp.concatenate(
+            [x, jnp.full((o_count, pad, *x.shape[2:]), fill, x.dtype)], axis=1
+        )
+
+    near_p, far_p, dirs_p = _pad(near_g), _pad(far_g, 1.0), _pad(dirs_g)
+
+    def render_object(args):
+        params, center, nr, fr, dg, k = args
+
+        def render_chunk(c_args):
+            kc, nr_c, fr_c, dg_c = c_args
+            z_edges = sampling.stratified_bins(kc, nr_c, fr_c, n_bins, nr_c.shape)
+            z = 0.5 * (z_edges[..., 1:] + z_edges[..., :-1])
+            pts = origin + dg_c[:, None, :] * z[..., None] - center
+            a, c, _ = object_field.field_apply(
+                params, pts, max_deg=max_deg, do_clip=False
+            )
+            occ = rendering.occupancy_activation(a[..., 0])
+            w = rendering.occupancy_to_termination(occ)
+            return (
+                rendering.render(w, z),
+                rendering.render(w[..., None], c, axis=-2),
+                jnp.sum(w, axis=-1),
+            )
+
+        ks = jax.random.split(k, n_chunks)
+        d, c, op = jax.lax.map(
+            render_chunk,
+            (ks, nr.reshape(n_chunks, chunk), fr.reshape(n_chunks, chunk),
+             dg.reshape(n_chunks, chunk, 3)),
+        )
+        return d.reshape(m_pad)[:m], c.reshape(m_pad, 3)[:m], op.reshape(m_pad)[:m]
+
+    depth_m, color_m, opac_m = jax.lax.map(
+        render_object, (stacked_params, centers, near_p, far_p, dirs_p, keys)
+    )
+
+    ok = (
+        valid
+        & (opac_m >= opacity_thresh)
+        & (depth_m >= near_g)
+        & (depth_m <= far_g)
+    )
+
+    def zbuf_body(o, bufs):
+        zb, win, rgbb = bufs
+        i = idx[o]
+        d = jnp.where(ok[o], depth_m[o], jnp.inf)
+        cur = zb[jnp.minimum(i, n - 1)]
+        upd = (d < cur) & (i < n)
+        tgt = jnp.where(upd, i, n)            # n -> dropped by mode="drop"
+        zb = zb.at[tgt].set(d, mode="drop")
+        win = win.at[tgt].set(o, mode="drop")
+        rgbb = rgbb.at[tgt].set(color_m[o], mode="drop")
+        return zb, win, rgbb
+
+    zb, win, rgbb = jax.lax.fori_loop(
+        0, o_count, zbuf_body,
+        (jnp.full((n,), jnp.inf), jnp.full((n,), -1, jnp.int32),
+         jnp.zeros((n, 3))),
+    )
+    return {"depth": zb, "winner": win, "color": rgbb}

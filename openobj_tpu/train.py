@@ -120,47 +120,108 @@ def save_checkpoints(mapper, log_dir: str, t_wc_last: np.ndarray):
 
 
 def render_dataset(mapper, dataset, log_dir: str, mapping_class: dict,
-                   bg_ids=(0, 2, 3), n_bins: int = 150):
+                   bg_ids=(0, 2, 3), n_bins: int = 150, chunk: int = 2048,
+                   hit_frac: float = 0.25):
     """Render every dataset pose through all object fields with z-buffer
     compositing; write rgb/depth/maskid PNGs (train.py:550-612 — the maskid
-    images are the mIoU-eval artifact)."""
+    images are the mIoU-eval artifact).
+
+    Foreground objects render in ONE jitted dispatch per frame
+    (renderer.render_frame_batched, OBB-hit-compacted); background-id
+    entries (wall/floor/ceiling + the bg model, which paint color but never
+    the z-buffer — reference train.py:592-594) render per object."""
     import cv2
     import jax
-
+    import jax.numpy as jnp
     from openobj_tpu.core import renderer
+    from openobj_tpu.ops import sampling as S
 
     out_dir = os.path.join(log_dir, "render")
     os.makedirs(out_dir, exist_ok=True)
-    entries = []
+    h, w = mapper.camera.height, mapper.camera.width
+
+    fg, bg_entries = [], []
     for inst_id, slot in mapper.registry.inst_to_slot.items():
         st = mapper.registry.slots[slot]
-        if st.bbox3d is not None:
-            entries.append((inst_id, mapper.slot_params(slot), st))
+        if st.bbox3d is None:
+            continue
+        if inst_id in bg_ids:
+            bg_entries.append((inst_id, mapper.slot_params(slot), st))
+        else:
+            fg.append((inst_id, slot, st))
     if mapper.cfg.do_bg and mapper.registry.bg is not None \
             and mapper.registry.bg.bbox3d is not None:
-        entries.append((0, mapper.state.bg_params, mapper.registry.bg))
+        bg_entries.append((0, mapper.state.bg_params, mapper.registry.bg))
 
+    params_sub = t_wo = extents = centers = active = None
+    inst_arr = np.zeros(0, np.int32)
+    if fg:
+        slot_idx = jnp.asarray([s for _, s, _ in fg])
+        params_sub = jax.tree.map(lambda x: x[slot_idx], mapper.state.fg_params)
+        t_wo = np.tile(np.eye(4, dtype=np.float32), (len(fg), 1, 1))
+        extents = np.zeros((len(fg), 3), np.float32)
+        centers = np.zeros((len(fg), 3), np.float32)
+        for j, (_, _, st) in enumerate(fg):
+            t_wo[j, :3, :3] = st.bbox3d.r
+            t_wo[j, :3, 3] = st.bbox3d.center
+            extents[j] = st.bbox3d.extent
+            centers[j] = st.obj_center
+        active = jnp.ones((len(fg),), bool)
+        inst_arr = np.asarray([i for i, _, _ in fg], np.int32)
+        mhr = min(-(-int(h * w * hit_frac) // chunk) * chunk,
+                  -(-(h * w) // chunk) * chunk)
+
+    dirs_c = jnp.asarray(mapper.cam_dirs).reshape(-1, 3)
     key = jax.random.PRNGKey(0)
     for i in range(len(dataset)):
         sample = dataset[i]
-        views = {}
-        for inst_id, params, st in entries:
+        t = jnp.asarray(sample.t_wc, jnp.float32)
+        origins, dirs_w = S.origin_dirs_w(
+            jnp.broadcast_to(t, (dirs_c.shape[0], 4, 4)), dirs_c
+        )
+        rgb_img = np.zeros((h, w, 3), np.uint8)
+        maskid = np.zeros((h, w), np.uint16)
+        instid = np.zeros((h, w), np.int32)
+        zbuf = np.full((h, w), 100.0, np.float32)
+        if fg:
             key, k = jax.random.split(key)
-            views[inst_id] = renderer.render_object_view(
+            out = renderer.render_frame_batched(
+                params_sub, jnp.asarray(t_wo), jnp.asarray(extents),
+                jnp.asarray(centers), active, origins, dirs_w, k,
+                n_bins=n_bins, max_hit_rays=mhr, chunk=chunk,
+                max_deg=mapper.cfg.max_deg,
+            )
+            win = np.asarray(out["winner"]).reshape(h, w)
+            zb = np.asarray(out["depth"]).reshape(h, w)
+            col = np.asarray(out["color"]).reshape(h, w, 3)
+            hitm = win >= 0
+            rgb_img[hitm] = (np.clip(col[hitm], 0, 1) * 255).astype(np.uint8)
+            ids = inst_arr[np.maximum(win, 0)]
+            instid[hitm] = ids[hitm]
+            maskid[hitm] = np.asarray(
+                [mapping_class.get(int(x), 0) for x in inst_arr], np.uint16
+            )[np.maximum(win, 0)][hitm]
+            zbuf[hitm] = zb[hitm]
+        for inst_id, params, st in bg_entries:
+            key, k = jax.random.split(key)
+            v = renderer.render_object_view(
                 params, st.bbox3d, st.obj_center, sample.t_wc,
                 mapper.cam_dirs, k, n_bins=n_bins,
             )
-        comp = renderer.composite_views(
-            views, mapping_class, mapper.camera.height, mapper.camera.width,
-            bg_ids=bg_ids,
-        )
+            d = np.where(v["hit"], v["depth"], 100.0)
+            ok = zbuf > d
+            rgb_img[ok] = (np.clip(v["color"], 0, 1)[ok] * 255).astype(np.uint8)
+            maskid[ok] = mapping_class.get(inst_id, 0)
+            instid[ok] = inst_id
+            # bg ids never write the depth buffer (train.py:592-594)
+        depth_img = np.where(zbuf >= 100.0, 0.0, zbuf)
         fid = sample.frame_id
         cv2.imwrite(os.path.join(out_dir, f"rgb_{fid}.png"),
-                    cv2.cvtColor(comp["rgb"], cv2.COLOR_RGB2BGR))
+                    cv2.cvtColor(rgb_img, cv2.COLOR_RGB2BGR))
         cv2.imwrite(os.path.join(out_dir, f"depth_{fid}.png"),
-                    (comp["depth"] * 1000).astype(np.uint16))
+                    (depth_img * 1000).astype(np.uint16))
         cv2.imwrite(os.path.join(out_dir, f"maskid_{fid}.png"),
-                    comp["maskid"].astype(np.uint8))
+                    maskid.astype(np.uint8))
 
 
 def export_meshes(mapper, log_dir: str, grid_dim: int, live_voxel_size: float,

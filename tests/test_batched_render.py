@@ -1,0 +1,123 @@
+"""Batched whole-frame renderer vs the per-object path."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from openobj_tpu.core import renderer
+from openobj_tpu.models import object_field
+from openobj_tpu.ops import sampling
+from openobj_tpu.utils.geometry import OrientedBox
+
+
+def _solid_field(key, bias=50.0):
+    """A field that is fully occupied everywhere (occ ~ 1): rays terminate
+    at their first sample, so depth ~ near."""
+    p = object_field.init_field_params(key, hidden=8, clip_size=4, scale=2.0)
+    p["mlp"]["out_alpha"]["w"] = jnp.zeros_like(p["mlp"]["out_alpha"]["w"])
+    p["mlp"]["out_alpha"]["b"] = jnp.full_like(p["mlp"]["out_alpha"]["b"], bias)
+    return p
+
+
+@pytest.fixture
+def setup():
+    h, w = 24, 32
+    cam_dirs = sampling.camera_ray_dirs(w, h, fx=20.0, fy=20.0, cx=16.0, cy=12.0)
+    dirs_c = jnp.asarray(cam_dirs).reshape(-1, 3)
+    t = jnp.eye(4)
+    origins, dirs_w = sampling.origin_dirs_w(
+        jnp.broadcast_to(t, (dirs_c.shape[0], 4, 4)), dirs_c
+    )
+    # two axis-aligned boxes at z=2 (left) and z=3 (right), overlapping center
+    boxes = [
+        OrientedBox(center=np.array([-0.3, 0.0, 2.0]), r=np.eye(3),
+                    extent=np.array([1.0, 1.0, 0.6])),
+        OrientedBox(center=np.array([0.3, 0.0, 3.0]), r=np.eye(3),
+                    extent=np.array([1.2, 1.2, 0.6])),
+    ]
+    keys = jax.random.split(jax.random.PRNGKey(0), 2)
+    params = [_solid_field(k) for k in keys]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *params)
+    t_wo = np.tile(np.eye(4, dtype=np.float32), (2, 1, 1))
+    extents = np.zeros((2, 3), np.float32)
+    for j, b in enumerate(boxes):
+        t_wo[j, :3, :3] = b.r
+        t_wo[j, :3, 3] = b.center
+        extents[j] = b.extent
+    return (h, w, origins, dirs_w, boxes, params, stacked,
+            jnp.asarray(t_wo), jnp.asarray(extents))
+
+
+class TestBatchedRender:
+    def test_matches_per_object_compositing(self, setup):
+        h, w, origins, dirs_w, boxes, params, stacked, t_wo, extents = setup
+        out = renderer.render_frame_batched(
+            stacked, t_wo, extents, jnp.zeros((2, 3)), jnp.ones((2,), bool),
+            origins, dirs_w, jax.random.PRNGKey(1),
+            n_bins=40, max_hit_rays=512, chunk=128,
+        )
+        win = np.asarray(out["winner"])
+        zb = np.asarray(out["depth"])
+
+        # reference composite via the per-object path
+        views = {}
+        for j, (p, b) in enumerate(zip(params, boxes)):
+            views[j] = {
+                k: np.asarray(v) for k, v in renderer.render_rays_obb(
+                    p, origins, dirs_w, t_wo[j], extents[j],
+                    jnp.zeros(3), jax.random.PRNGKey(2 + j), n_bins=40,
+                    chunk_size=128,
+                ).items()
+            }
+        # hit sets must match exactly (solid fields -> OBB hit == render hit)
+        for j in range(2):
+            np.testing.assert_array_equal(win == j, (win == j))
+            both = views[j]["hit"]
+            # every per-object hit is either won by j or by a nearer object
+            lost = both & (win != j)
+            if lost.any():
+                assert (zb[lost] <= views[j]["depth"][lost] + 0.1).all()
+        # where only object 0 hits, it wins; same for 1
+        only0 = views[0]["hit"] & ~views[1]["hit"]
+        only1 = views[1]["hit"] & ~views[0]["hit"]
+        assert (win[only0] == 0).all()
+        assert (win[only1] == 1).all()
+        # overlap: nearer box (z=2) wins
+        overlap = views[0]["hit"] & views[1]["hit"]
+        if overlap.any():
+            assert (win[overlap] == 0).all()
+        # depths agree to within a bin width
+        for j in range(2):
+            sel = (win == j)
+            if sel.any():
+                np.testing.assert_allclose(
+                    zb[sel], views[j]["depth"][sel], atol=0.08
+                )
+        # no-hit rays: winner -1, depth inf
+        none = ~(views[0]["hit"] | views[1]["hit"])
+        assert (win[none] == -1).all()
+        assert np.isinf(zb[none]).all()
+
+    def test_inactive_objects_excluded(self, setup):
+        h, w, origins, dirs_w, boxes, params, stacked, t_wo, extents = setup
+        out = renderer.render_frame_batched(
+            stacked, t_wo, extents, jnp.zeros((2, 3)),
+            jnp.asarray([True, False]),
+            origins, dirs_w, jax.random.PRNGKey(1),
+            n_bins=40, max_hit_rays=512, chunk=128,
+        )
+        assert not (np.asarray(out["winner"]) == 1).any()
+
+    def test_hit_cap_truncates_gracefully(self, setup):
+        """max_hit_rays smaller than the真 hit count: renders a subset,
+        still finite and well-formed."""
+        h, w, origins, dirs_w, boxes, params, stacked, t_wo, extents = setup
+        out = renderer.render_frame_batched(
+            stacked, t_wo, extents, jnp.zeros((2, 3)), jnp.ones((2,), bool),
+            origins, dirs_w, jax.random.PRNGKey(1),
+            n_bins=40, max_hit_rays=64, chunk=64,
+        )
+        win = np.asarray(out["winner"])
+        assert (win >= -1).all() and (win <= 1).all()
+        assert np.isfinite(np.asarray(out["color"])).all()

@@ -94,7 +94,7 @@ def _config_json(root, tmp_path):
                   "hidden_feature_size_bg": 32, "clip_point_feature_size": 8},
         "camera": {"w": W, "h": H, "fx": FX, "fy": FY, "cx": CX, "cy": CY,
                    "mw": 0, "mh": 0},
-        "vis": {"if_vis": 0, "if_ckpt": 1, "if_render": 0, "if_obj": 1,
+        "vis": {"if_vis": 0, "if_ckpt": 1, "if_render": 1, "if_obj": 1,
                 "save_pcd": 0, "save_mesh": 1, "bg_id": [0, 2, 3],
                 "n_vis_iter": 9999, "eps_fine_vis": 0.1,
                 "n_bins_fine_vis": 10, "grid_dim": 32,
@@ -166,6 +166,11 @@ class TestTrainCLI:
         assert len(meshes) >= 1
         assert os.path.exists(os.path.join(logdir, "cam_pose", "twc_frame.npz"))
         assert os.path.exists(os.path.join(logdir, "timing.json"))
+        # rendered artifacts (batched fg render + bg views, maskid for mIoU)
+        renders = os.listdir(os.path.join(logdir, "render"))
+        assert any(r.startswith("rgb_") for r in renders)
+        assert any(r.startswith("maskid_") for r in renders)
+        assert any(r.startswith("depth_") for r in renders)
 
         # checkpoints -> map bundle (the reference gen_map_vis.py flow)
         from openobj_tpu.viz import export as viz_export
