@@ -94,6 +94,7 @@ class SceneMapper:
         self.loss_history: list[float] = []
         self.on_loss_explosion = on_loss_explosion
         self.loss_explosion_factor = loss_explosion_factor
+        self._pending_losses = None
 
     # ------------------------------------------------------------------ #
 
@@ -186,10 +187,24 @@ class SceneMapper:
         if not train or (self.registry.n_objects == 0 and not self.registry.bg_seen):
             return None
 
-        losses = self._train_once()
-        self._check_losses(losses)
-        self.loss_history.append(float(losses[-1]))
-        return losses
+        # validate the PREVIOUS frame's losses (already computed — free),
+        # keeping this frame's dispatch asynchronous: the host preps frame
+        # N+1 while the device trains frame N (one-deep pipeline)
+        if self._pending_losses is not None:
+            prev = np.asarray(self._pending_losses)
+            self._check_losses(prev)
+            self.loss_history.append(float(prev[-1]))
+        self._pending_losses = self._train_once_async()
+        return self._pending_losses
+
+    def finish(self) -> None:
+        """Drain the pipeline: validate the last frame's losses. Call after
+        the frame loop (checkpoint/export paths sync anyway)."""
+        if self._pending_losses is not None:
+            prev = np.asarray(self._pending_losses)
+            self._check_losses(prev)
+            self.loss_history.append(float(prev[-1]))
+            self._pending_losses = None
 
     def _check_losses(self, losses: np.ndarray):
         """Failure detection (reference render_rays.py:109-111): non-finite
@@ -210,14 +225,14 @@ class SceneMapper:
                 raise LossExplosionError(msg)
             print(f"[openobj_tpu] WARNING: {msg}")
 
-    def _train_once(self):
+    def _train_once_async(self):
         fg_tables = self._fg_tables_device()
         bg_tables = self._bg_tables_device() if self.cfg.do_bg else None
         self.state, losses = trainer.train_frame(
             self.state, self.store, self.cam_dirs,
             fg_tables, bg_tables, self._split(), self.cfg,
         )
-        return np.asarray(losses)
+        return losses  # device array — conversion deferred (pipelining)
 
     # ------------------------------------------------------------------ #
 

@@ -301,6 +301,7 @@ def main(argv=None):
         if tb is not None and losses is not None:
             tb.add_scalar("train/frame_loss", float(losses[-1]), i)
             tb.add_scalar("train/n_objects", mapper.n_objects, i)
+    mapper.finish()   # drain the async pipeline (validates the last frame)
     if tb is not None:
         tb.close()
 

@@ -256,12 +256,14 @@ class TestLossGuard:
         inst = np.full((12, 16), 5, np.int32)
         m.process_frame(rgb, depth, inst, np.eye(4, dtype=np.float32))
 
-        # poison the params so the next frame's loss is NaN
+        # poison the params so the next frame's loss is NaN; the guard is
+        # one frame behind (async pipeline), so it fires at finish()
         m.state.fg_params = jax.tree.map(
             lambda x: x * jnp.nan, m.state.fg_params
         )
+        m.process_frame(rgb, depth, inst, np.eye(4, dtype=np.float32))
         with pytest.raises(LossExplosionError):
-            m.process_frame(rgb, depth, inst, np.eye(4, dtype=np.float32))
+            m.finish()
 
         # warn mode does not raise
         m2 = SceneMapper(cam, cfg, frame_capacity=4, max_objects=4,
@@ -271,6 +273,7 @@ class TestLossGuard:
             lambda x: x * jnp.nan, m2.state.fg_params
         )
         m2.process_frame(rgb, depth, inst, np.eye(4, dtype=np.float32))
+        m2.finish()
 
 
 class TestSamplePerStep:
