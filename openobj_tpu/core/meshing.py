@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from openobj_tpu.models import object_field
-from openobj_tpu.ops import marching, rendering
+from openobj_tpu.ops import rendering
 from openobj_tpu.utils.geometry import OrientedBox, TriangleMesh
 
 

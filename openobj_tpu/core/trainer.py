@@ -20,7 +20,7 @@ Workload-shape parity (configs/Replica/room_0.json):
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field as dc_field
+from dataclasses import dataclass
 from functools import partial
 
 import jax

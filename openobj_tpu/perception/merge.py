@@ -27,7 +27,6 @@ import numpy as np
 from scipy.spatial import cKDTree
 
 from openobj_tpu.perception.graph import JUNK_ID
-from openobj_tpu.perception.projection import dbscan_largest_cluster
 from openobj_tpu.utils.geometry import voxel_downsample
 
 RESERVED = {"wall": 1, "floor": 2, "ceiling": 3}
