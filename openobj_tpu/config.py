@@ -34,6 +34,7 @@ class SceneConfig:
     max_depth: float = 8.0
     min_depth: float = 0.0
     max_n_models: int = 100
+    imap_mode: bool = False
     keyframe_buffer_size: int = 20
     keyframe_step: float = 25
     keyframe_step_bg: float = 50
@@ -113,6 +114,7 @@ def load_scene_config(path: str) -> SceneConfig:
         max_depth=rd["depth_range"][1],
         min_depth=rd["depth_range"][0],
         max_n_models=tr.get("n_models", 100),
+        imap_mode=bool(tr.get("imap_mode", 0)),
         keyframe_buffer_size=md["keyframe_buffer_size"],
         keyframe_step=md["keyframe_step"] / stride,
         keyframe_step_bg=md["keyframe_step_bg"] / stride,

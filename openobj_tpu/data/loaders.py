@@ -74,7 +74,9 @@ def process_instance_frame(
     inst = inst.astype(np.int32)
     h, w = inst.shape
     if imap_mode:
-        return np.zeros_like(inst), {}, {}, {}
+        # iMAP baseline (reference cfg imap_mode): no object decomposition —
+        # everything is the background field, trained on the full frame
+        return np.zeros_like(inst), {0: (0, h, 0, w)}, {}, {}
     inst = inst.copy()
     inst[inst == 0] = -1  # 0 is "unknown", not background (dataset.py:107-109)
 
@@ -262,4 +264,5 @@ def make_dataset(scene_cfg):
         max_depth=scene_cfg.max_depth,
         part_mode=scene_cfg.train.part_mode,
         part_down=scene_cfg.train.part_down,
+        imap_mode=scene_cfg.imap_mode,
     )

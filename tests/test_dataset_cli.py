@@ -245,3 +245,36 @@ class TestEvalCLI:
         assert out["psnr"] > 50
         assert out["depth_l1"] < 1e-6
         assert out["miou"] == 1.0
+
+
+class TestImapMode:
+    def test_single_field_mapping(self, tmp_path):
+        """imap_mode: no object decomposition — the whole scene trains into
+        the background field alone (the reference's iMAP baseline flag)."""
+        from openobj_tpu.config import load_scene_config, make_mapper
+        from openobj_tpu.data.loaders import init_loader, make_dataset
+
+        root = str(tmp_path / "scene")
+        write_replica_dataset(root, n_raw_frames=20)
+        cfg_path = _config_json(root, tmp_path)
+        cfg_raw = json.load(open(cfg_path))
+        cfg_raw["trainer"]["imap_mode"] = 1
+        cfg_raw["trainer"]["part_mode"] = 0
+        json.dump(cfg_raw, open(cfg_path, "w"))
+
+        cfg = load_scene_config(cfg_path)
+        assert cfg.imap_mode
+        dataset = make_dataset(cfg)
+        mapper = make_mapper(cfg, frame_capacity=4)
+        for sample in init_loader(dataset):
+            assert (sample.inst == 0).all()
+            assert list(sample.bboxes) == [0]
+            mapper.process_frame(
+                sample.rgb, sample.depth, sample.inst, sample.t_wc,
+                bboxes=sample.bboxes,
+            )
+        mapper.finish()
+        assert mapper.n_objects == 0          # no fg objects
+        assert mapper.registry.bg_seen        # bg trained
+        assert len(mapper.loss_history) >= 1
+        assert all(np.isfinite(v) for v in mapper.loss_history)
