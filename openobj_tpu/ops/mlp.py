@@ -125,12 +125,26 @@ def mlp_apply(
     e2 = emb[..., emb_size1:]
     cdt = jnp.bfloat16 if compute_dtype == "bf16" else None
 
+    def _split_linear_relu(p, a, b):
+        # x = concat([a, b]) @ w  ==  a @ w[:rows(a)] + b @ w[rows(a):] —
+        # two matmuls instead of materializing the concat; measured ~2x
+        # faster fwd+bwd on TPU at the room_0 shapes (the concat and its
+        # transpose-split dominate these tiny-matmul layers)
+        w = p["w"]
+        if cdt is not None:
+            a, b, w = a.astype(cdt), b.astype(cdt), w.astype(cdt)
+            y = (
+                jnp.dot(a, w[: a.shape[-1]], preferred_element_type=jnp.float32)
+                + jnp.dot(b, w[a.shape[-1]:], preferred_element_type=jnp.float32)
+            )
+        else:
+            y = a @ w[: a.shape[-1]] + b @ w[a.shape[-1]:]
+        return jax.nn.relu(y + p["b"])
+
     h = _linear_relu(params["in_layer"], e1, cdt)
     h = _linear_relu(params["mid1"], h, cdt)
     if do_cat:
-        h = _linear_relu(
-            params["cat_layer"], jnp.concatenate([h, e1], axis=-1), cdt
-        )
+        h = _split_linear_relu(params["cat_layer"], h, e1)
     h = _linear_relu(params["mid2"], h, cdt)
 
     alpha = None
@@ -139,16 +153,12 @@ def mlp_apply(
 
     color = None
     if do_color and "out_color" in params:
-        hc = _linear_relu(
-            params["color_linear"], jnp.concatenate([h, e2], axis=-1), cdt
-        )
+        hc = _split_linear_relu(params["color_linear"], h, e2)
         color = jax.nn.sigmoid(_linear(params["out_color"], hc, cdt))
 
     clip = None
     if do_clip and "out_clip" in params:
-        hf = _linear_relu(
-            params["clip_linear"], jnp.concatenate([h, e2], axis=-1), cdt
-        )
+        hf = _split_linear_relu(params["clip_linear"], h, e2)
         clip = hf if clip_hidden_only else _linear(params["out_clip"], hf, cdt)
 
     return alpha, color, clip
