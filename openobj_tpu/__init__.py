@@ -21,3 +21,22 @@ Design stance (see SURVEY.md §7):
 __version__ = "0.1.0"
 
 from openobj_tpu import ops  # noqa: F401
+
+
+def __getattr__(name):
+    """Lazy top-level API: openobj_tpu.SceneMapper, .Camera, .TrainConfig,
+    .load_scene_config, .make_mapper without importing the whole stack at
+    package-import time."""
+    from importlib import import_module
+
+    lazy = {
+        "SceneMapper": ("openobj_tpu.core.scene", "SceneMapper"),
+        "Camera": ("openobj_tpu.core.scene", "Camera"),
+        "TrainConfig": ("openobj_tpu.core.trainer", "TrainConfig"),
+        "load_scene_config": ("openobj_tpu.config", "load_scene_config"),
+        "make_mapper": ("openobj_tpu.config", "make_mapper"),
+    }
+    if name in lazy:
+        mod, attr = lazy[name]
+        return getattr(import_module(mod), attr)
+    raise AttributeError(f"module 'openobj_tpu' has no attribute {name!r}")
