@@ -207,7 +207,7 @@ def render_frame_batched(
     render_2D_syn per object, each internally chunked) — ~50 dispatches per
     frame and full-frame evaluation per object. Here: one dispatch; each
     object evaluates only rays that hit its OBB (slab test -> sized nonzero
-    compaction to max_hit_rays, a static cap ~8-25%% of the frame), cutting
+    compaction to max_hit_rays, a static cap, typically 8-25% of the frame), cutting
     the field FLOPs by the typical 1/coverage factor.
 
     Returns {"depth" [N] (inf = no hit), "winner" [N] int32 (index into the

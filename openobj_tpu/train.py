@@ -104,9 +104,7 @@ def save_checkpoints(mapper, log_dir: str, t_wc_last: np.ndarray):
             cam.fx, cam.fy, cam.cx, cam.cy,
         )
         bg.bbox3d = bbox
-        from openobj_tpu.core import checkpoint as C
-
-        C.save_object_checkpoint(
+        checkpoint.save_object_checkpoint(
             os.path.join(log_dir, "ckpt", "0", "obj_0.npz"),
             0, mapper.state.bg_params, mapper.cfg.bg_scale,
             bbox3d=bbox,
