@@ -107,18 +107,18 @@ def main():
     jax.block_until_ready(losses)
     compile_s = time.perf_counter() - t0
 
-    # steady state (state is donated; rebind each call)
-    times = []
+    # steady state: frames dispatched back-to-back (the production
+    # SceneMapper pipeline defers syncs the same way), one block at the end —
+    # successive frames chain through the donated state, so the device time
+    # is fully serialized while host dispatch overlaps it
+    t0 = time.perf_counter()
     for i in range(N_TIMED_FRAMES):
         k = jax.random.PRNGKey(2 + i)
-        t0 = time.perf_counter()
         new_state, losses = trainer.train_frame(
             new_state, store, cam_dirs, fg_tables, bg_tables, k, cfg
         )
-        jax.block_until_ready(losses)
-        times.append(time.perf_counter() - t0)
-
-    sec_per_frame = float(np.median(times))
+    jax.block_until_ready(losses)
+    sec_per_frame = (time.perf_counter() - t0) / N_TIMED_FRAMES
     rays_per_frame = cfg.n_iters_per_frame * (
         N_ACTIVE_OBJECTS * cfg.n_rays_per_step + cfg.n_rays_per_step_bg
     )
