@@ -257,6 +257,9 @@ def main(argv=None):
     parser.add_argument("--max-frames", type=int, default=None)
     parser.add_argument("--tensorboard", action="store_true",
                         help="log per-frame scalars via tensorboardX")
+    parser.add_argument("--ckpt-every", type=int, default=None,
+                        help="also checkpoint every N frames (the reference's "
+                             "n_vis_iter cadence; default: end of run only)")
     args = parser.parse_args(argv)
 
     from openobj_tpu.config import load_scene_config, make_mapper
@@ -299,6 +302,8 @@ def main(argv=None):
         if tb is not None and losses is not None:
             tb.add_scalar("train/frame_loss", float(losses[-1]), i)
             tb.add_scalar("train/n_objects", mapper.n_objects, i)
+        if args.ckpt_every and (i + 1) % args.ckpt_every == 0:
+            save_checkpoints(mapper, args.logdir, t_wc_last)
     mapper.finish()   # drain the async pipeline (validates the last frame)
     if tb is not None:
         tb.close()
