@@ -150,3 +150,30 @@ def _main(argv=None):
 
 if __name__ == "__main__":
     _main()
+
+
+def retrieval_metrics(
+    query_scores: list[dict],        # per query: {obj_id: similarity}
+    gt_object_ids: list,             # per query: the correct object id(s)
+    ks=(1, 3, 5),
+):
+    """Open-vocabulary retrieval metrics (the paper's retrieval task): for
+    each text query, rank objects by similarity (viz.query.query_objects)
+    and score top-k accuracy + mean reciprocal rank against the annotated
+    target object(s)."""
+    hits = {k: 0 for k in ks}
+    rr = 0.0
+    for scores, gt in zip(query_scores, gt_object_ids):
+        gts = set(gt) if isinstance(gt, (list, tuple, set)) else {gt}
+        ranked = sorted(scores, key=scores.get, reverse=True)
+        for k in ks:
+            if gts & set(ranked[:k]):
+                hits[k] += 1
+        for rank, oid in enumerate(ranked, start=1):
+            if oid in gts:
+                rr += 1.0 / rank
+                break
+    n = max(len(query_scores), 1)
+    out = {f"top{k}_acc": hits[k] / n for k in ks}
+    out["mrr"] = rr / n
+    return out

@@ -134,3 +134,18 @@ class TestBundleIO:
             back[4]["part_feat"], bundle[4]["part_feat"]
         )
         assert back[4]["class_id"] == 7
+
+
+class TestRetrievalMetrics:
+    def test_topk_and_mrr(self):
+        from openobj_tpu.eval import retrieval_metrics
+
+        scores = [
+            {4: 0.9, 5: 0.5, 6: 0.1},   # gt 4 at rank 1
+            {4: 0.2, 5: 0.8, 6: 0.5},   # gt 6 at rank 2
+            {4: 0.3, 5: 0.9, 6: 0.6},   # gt [5, 6]: 5 at rank 1
+        ]
+        out = retrieval_metrics(scores, [4, 6, [5, 6]], ks=(1, 3))
+        assert out["top1_acc"] == pytest.approx(2 / 3)
+        assert out["top3_acc"] == 1.0
+        assert out["mrr"] == pytest.approx((1 + 1 / 2 + 1) / 3)
