@@ -278,3 +278,27 @@ class TestImapMode:
         assert mapper.registry.bg_seen        # bg trained
         assert len(mapper.loss_history) >= 1
         assert all(np.isfinite(v) for v in mapper.loss_history)
+
+
+class TestRunScenesDriver:
+    def test_multi_scene_summary(self, tmp_path):
+        import sys
+        sys.path.insert(0, "scripts")
+        import run_scenes
+
+        scene_root = tmp_path / "data" / "sceneA"
+        write_replica_dataset(str(scene_root), n_raw_frames=20)
+        cfg_dir = tmp_path / "configs"
+        os.makedirs(cfg_dir)
+        cfg_path = _config_json(str(scene_root), tmp_path)
+        cfg = json.load(open(cfg_path))
+        cfg["render"]["iters_per_frame"] = 5
+        cfg["vis"]["if_render"] = 0
+        json.dump(cfg, open(cfg_dir / "sceneA.json", "w"))
+
+        out = tmp_path / "runs"
+        run_scenes.main([str(cfg_dir), "--out", str(out)])
+        summary = json.load(open(out / "summary.json"))
+        assert summary["sceneA"]["status"] == "ok"
+        assert summary["sceneA"]["objects"] >= 1
+        assert os.path.exists(out / "sceneA" / "map_vis.pkl.gz")
