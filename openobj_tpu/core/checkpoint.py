@@ -122,6 +122,12 @@ def save_scene(dirpath: str, mapper) -> None:
     data["slot_inst_ids"] = np.asarray(
         [r.slots[s].inst_id for s in sorted(r.slots)], np.int64
     )
+    data["frame_count"] = np.asarray(mapper.frame_count, np.int64)
+    data["bg_seen"] = np.asarray(int(r.bg_seen), np.int64)
+    data["bg_kf_frames"] = r.bg_kf_frames
+    data["bg_kf_bbox"] = r.bg_kf_bbox
+    data["bg_latest2"] = r.bg_latest2
+    data["bg_n_kf"] = np.asarray(r.bg.n_kf if r.bg else 0, np.int64)
     np.savez_compressed(os.path.join(dirpath, "scene_state.npz"), **data)
 
 
@@ -169,3 +175,15 @@ def load_scene(dirpath: str, mapper) -> None:
         stt.latest = [int(x) for x in r.latest2[slot]]
         r.slots[slot] = stt
         r.inst_to_slot[inst_id] = slot
+    if "frame_count" in z:
+        mapper.frame_count = int(z["frame_count"])
+        for slot, stt in r.slots.items():
+            stt.frame_cnt = mapper.frame_count  # approximate policy resume
+    if "bg_seen" in z and r.bg is not None:
+        r.bg_seen = bool(int(z["bg_seen"]))
+        r.bg_kf_frames[:] = z["bg_kf_frames"]
+        r.bg_kf_bbox[:] = z["bg_kf_bbox"]
+        r.bg_latest2[:] = z["bg_latest2"]
+        r.bg.n_kf = int(z["bg_n_kf"])
+        r.bg.latest = [int(x) for x in r.bg_latest2]
+        r.bg.frame_cnt = mapper.frame_count

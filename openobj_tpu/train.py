@@ -260,6 +260,12 @@ def main(argv=None):
     parser.add_argument("--ckpt-every", type=int, default=None,
                         help="also checkpoint every N frames (the reference's "
                              "n_vis_iter cadence; default: end of run only)")
+    parser.add_argument("--resume", action="store_true",
+                        help="resume from <logdir>/scene_state.npz (full "
+                             "training state incl. optimizer — the reference "
+                             "cannot do this); already-seen frames are "
+                             "re-ingested into the frame store without "
+                             "re-training")
     args = parser.parse_args(argv)
 
     from openobj_tpu.config import load_scene_config, make_mapper
@@ -276,6 +282,15 @@ def main(argv=None):
     mapper = make_mapper(cfg, frame_capacity=n_frames + 1)
     class_feats = load_class_features(args.class_features)
 
+    resume_from = 0
+    if args.resume:
+        from openobj_tpu.core.checkpoint import load_scene
+        from openobj_tpu.core.frame_store import append_frame
+
+        load_scene(args.logdir, mapper)
+        resume_from = mapper.frame_count
+        print(f"resuming after frame {resume_from}")
+
     tb = None
     if args.tensorboard:
         try:
@@ -289,6 +304,16 @@ def main(argv=None):
     for i, sample in enumerate(init_loader(dataset)):
         if i >= n_frames:
             break
+        if args.resume and i < resume_from:
+            # store-only re-ingest: keyframe tables index into the store by
+            # frame slot, so the frames must land in the same positions; the
+            # registry/optimizer state already came from the snapshot
+            mapper.store, _ = append_frame(
+                mapper.store, sample.rgb, sample.depth, sample.inst,
+                sample.t_wc, sample.part_feat,
+            )
+            t_wc_last = sample.t_wc
+            continue
         with performance_measure(f"frame {i}", verbose=False):
             losses = mapper.process_frame(
                 sample.rgb, sample.depth, sample.inst, sample.t_wc,
@@ -305,6 +330,8 @@ def main(argv=None):
         if args.ckpt_every and (i + 1) % args.ckpt_every == 0:
             save_checkpoints(mapper, args.logdir, t_wc_last)
     mapper.finish()   # drain the async pipeline (validates the last frame)
+    from openobj_tpu.core.checkpoint import save_scene
+    save_scene(args.logdir, mapper)   # full resumable snapshot
     if tb is not None:
         tb.close()
 

@@ -302,3 +302,43 @@ class TestRunScenesDriver:
         assert summary["sceneA"]["status"] == "ok"
         assert summary["sceneA"]["objects"] >= 1
         assert os.path.exists(out / "sceneA" / "map_vis.pkl.gz")
+
+
+class TestResume:
+    def test_cli_resume_continues_training(self, tmp_path, capsys):
+        """--resume restores the full state snapshot (params + optimizer +
+        keyframe tables, which the reference cannot do), re-ingests the
+        already-seen frames into the store, and continues."""
+        from openobj_tpu import train as train_cli
+        from openobj_tpu.config import load_scene_config, make_mapper
+        from openobj_tpu.core.checkpoint import load_scene
+
+        root = str(tmp_path / "scene")
+        write_replica_dataset(root, n_raw_frames=40)
+        cfg_path = _config_json(root, tmp_path)
+        cfg = json.load(open(cfg_path))
+        cfg["render"]["iters_per_frame"] = 5
+        cfg["vis"]["if_render"] = 0
+        cfg["vis"]["if_obj"] = 0
+        json.dump(cfg, open(cfg_path, "w"))
+        logdir = str(tmp_path / "logs")
+
+        train_cli.main(["--config", cfg_path, "--logdir", logdir,
+                        "--max-frames", "2"])
+        assert os.path.exists(os.path.join(logdir, "scene_state.npz"))
+
+        # restore into a fresh mapper: same params as the run's end state
+        scfg = load_scene_config(cfg_path)
+        m = make_mapper(scfg, frame_capacity=8)
+        load_scene(logdir, m)
+        assert m.frame_count == 2
+        assert m.n_objects >= 1
+
+        # resume for 2 more frames: trains only the NEW frames
+        train_cli.main(["--config", cfg_path, "--logdir", logdir,
+                        "--max-frames", "4", "--resume"])
+        out = capsys.readouterr().out
+        assert "resuming after frame 2" in out
+        m2 = make_mapper(scfg, frame_capacity=8)
+        load_scene(logdir, m2)
+        assert m2.frame_count == 4
