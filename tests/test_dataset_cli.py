@@ -342,3 +342,76 @@ class TestResume:
         m2 = make_mapper(scfg, frame_capacity=8)
         load_scene(logdir, m2)
         assert m2.frame_count == 4
+
+
+class TestScanNetLoader:
+    def test_scannet_format_and_intrinsic_file(self, tmp_path):
+        """ScanNet on-disk contract: color/<i>.jpg + depth/<i>.png
+        (natsorted), intrinsic/intrinsic_depth.txt, assoc artifacts —
+        including the config loader's intrinsics-from-scan-dir path and the
+        part_down=10 2x part-map downsample (reference dataset.py:314-318)."""
+        from openobj_tpu.config import load_scene_config
+        from openobj_tpu.data.loaders import ScanNet
+
+        root = tmp_path / "scan"
+        for d in ("color", "depth", "instance_our", "partlevel", "intrinsic"):
+            os.makedirs(root / d)
+        rng = np.random.default_rng(0)
+        h, w = 48, 64
+        n_raw = 30
+        poses = []
+        for i in range(n_raw):
+            cv2.imwrite(str(root / "color" / f"{i}.jpg"),
+                        rng.integers(0, 255, (h, w, 3)).astype(np.uint8))
+            cv2.imwrite(str(root / "depth" / f"{i}.png"),
+                        (rng.uniform(0.5, 3.0, (h, w)) * 1000).astype(np.uint16))
+            np.save(str(root / "partlevel" / f"{i}.npy"),
+                    rng.normal(size=(h // 5, w // 5, 8)).astype(np.float32))
+            poses.append(np.eye(4).reshape(-1))
+        for ino in range(3):
+            inst = np.ones((h, w), np.uint16)      # wall
+            inst[10:30, 20:50] = 4
+            cv2.imwrite(str(root / "instance_our" /
+                            f"semantic_instance_{ino}.png"), inst)
+        np.savetxt(str(root / "traj_w_c.txt"), np.stack(poses), delimiter=" ")
+        k = np.eye(4); k[0, 0] = 42.0; k[1, 1] = 43.0; k[0, 2] = 31.5; k[1, 2] = 23.5
+        np.savetxt(str(root / "intrinsic" / "intrinsic_depth.txt"), k)
+        feats = {1: _unit(rng, 512), 4: _unit(rng, 512)}
+        cfeats = {1: _unit(rng, 384), 4: _unit(rng, 384)}
+        with open(root / "object_clipfeat.pkl", "wb") as f:
+            pickle.dump([{i: feats[i] for i in (1, 4)}] * 3, f)
+        with open(root / "object_capfeat.pkl", "wb") as f:
+            pickle.dump([{i: cfeats[i] for i in (1, 4)}] * 3, f)
+
+        ds = ScanNet(str(root), stride=10, part_mode=True, part_down=10)
+        assert len(ds) == 3
+        s = ds[1]
+        assert s.rgb.shape == (h, w, 3)
+        assert s.depth.dtype == np.float32
+        assert 4 in s.bboxes and 0 in s.bboxes
+        # part_down=10: the (h/5, w/5) map is bilinear-downsampled 2x
+        assert s.part_feat.shape == (h // 10, w // 10, 8)
+
+        # config loader pulls fx/fy/cx/cy from the intrinsic file
+        cfg = {
+            "dataset": {"path": str(root), "format": "ScanNet"},
+            "optimizer": {"args": {"lr": 1e-3, "weight_decay": 0.013}},
+            "trainer": {"stride": 10, "scale": 1000.0},
+            "render": {"depth_range": [0.0, 8.0], "n_bins": 9,
+                       "n_bins_cam2surface": 1, "n_bins_cam2surface_bg": 5,
+                       "iters_per_frame": 5, "n_per_optim": 24,
+                       "n_per_optim_bg": 24},
+            "model": {"n_unidir_funcs": 5, "obj_scale": 2.0, "bg_scale": 5.0,
+                      "surface_eps": 0.1, "other_eps": 0.05,
+                      "keyframe_buffer_size": 4, "keyframe_step": 25,
+                      "keyframe_step_bg": 50, "window_size": 2,
+                      "window_size_bg": 2, "hidden_feature_size": 8,
+                      "hidden_feature_size_bg": 8,
+                      "clip_point_feature_size": 8},
+            "camera": {"w": w, "h": h, "mw": 0, "mh": 0},
+        }
+        cfg_path = tmp_path / "scannet.json"
+        json.dump(cfg, open(cfg_path, "w"))
+        sc = load_scene_config(str(cfg_path))
+        assert sc.camera.fx == 42.0 and sc.camera.fy == 43.0
+        assert sc.camera.cx == 31.5 and sc.camera.cy == 23.5
