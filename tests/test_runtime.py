@@ -388,3 +388,51 @@ class TestPartFeatureDistillation:
         assert np.median(cos) > 0.8, float(np.median(cos))
         # and clearly closer to the target than to the bg vector
         assert np.median(cos) > np.median(pf_r @ other) + 0.2
+
+
+class TestPathologicalFrames:
+    def _mapper(self, key):
+        from openobj_tpu.core.scene import Camera, SceneMapper
+        from openobj_tpu.core import trainer as T
+
+        cfg = T.TrainConfig(
+            n_iters_per_frame=2, win_size=2, n_samples_per_frame=4,
+            win_size_bg=2, n_samples_per_frame_bg=4,
+            hidden=8, hidden_bg=8, clip_size=4,
+        )
+        cam = Camera(width=24, height=16, fx=12.0, fy=12.0, cx=12.0, cy=8.0)
+        return SceneMapper(cam, cfg, frame_capacity=8, max_objects=4,
+                           initial_bucket=4)
+
+    def test_all_unknown_frame_is_a_noop(self, key):
+        m = self._mapper(key)
+        inst = np.full((16, 24), -1, np.int32)
+        rgb = np.zeros((16, 24, 3), np.uint8)
+        depth = np.ones((16, 24), np.float32)
+        out = m.process_frame(rgb, depth, inst, np.eye(4, dtype=np.float32))
+        assert out is None                 # nothing to train
+        assert m.n_objects == 0
+
+    def test_zero_depth_frame_trains_finite(self, key):
+        """Depth 0 everywhere = all rays invalid -> the invalid-depth z
+        lattice; losses must stay finite (reference vmap.py:489-501)."""
+        m = self._mapper(key)
+        rng = np.random.default_rng(0)
+        inst = np.zeros((16, 24), np.int32)
+        inst[4:14, 6:20] = 5
+        rgb = rng.integers(0, 255, (16, 24, 3)).astype(np.uint8)
+        depth = np.zeros((16, 24), np.float32)
+        m.process_frame(rgb, depth, inst, np.eye(4, dtype=np.float32))
+        m.on_loss_explosion = "ignore"
+        m.finish()
+        assert np.isfinite(m.loss_history).all()
+
+    def test_tiny_objects_dropped(self, key):
+        m = self._mapper(key)
+        inst = np.zeros((16, 24), np.int32)
+        inst[3, 3] = 7                     # 1-px object -> dropped
+        rgb = np.zeros((16, 24, 3), np.uint8)
+        depth = np.ones((16, 24), np.float32)
+        m.process_frame(rgb, depth, inst, np.eye(4, dtype=np.float32))
+        assert 7 not in m.registry.inst_to_slot
+        assert m.registry.bg_seen          # bg still observed
