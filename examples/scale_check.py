@@ -6,9 +6,15 @@ Trains a 24-sphere synthetic scene (objects appear over 16 orbit frames,
 slot buckets grow 8 -> 16 -> 32), then renders a held-out pose through the
 batched whole-frame renderer and checks silhouette IoU + color error.
 """
+import os
+import sys
 import time
+
 import numpy as np
-import jax
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax  # noqa: E402
 from openobj_tpu.core.scene import Camera, SceneMapper
 from openobj_tpu.core import trainer
 from openobj_tpu.data import synthetic
