@@ -13,6 +13,18 @@ Parity targets:
 TPU-first: rays are processed in fixed-size chunks under ``lax.map`` with
 padding — no data-dependent shapes; non-hit rays ride along masked instead
 of being compacted on the host.
+
+Render-path speedups beyond the reference (both opt-in, parity-tested):
+  * ``two_pass=True``: empty-space skipping — a cheap alpha-only probe pass
+    (``n_probe`` deterministic bins over [near, far], no color/CLIP heads)
+    locates the surface, then the full pass places its ``n_bins`` stratified
+    bins inside a tight window around it. Rays whose probe finds no surface
+    keep the full interval, so transparent/miss behaviour is unchanged. At
+    probe 32 + refine 64 this is ~55% of the one-pass-150 FLOPs with a
+    DENSER surface sampling than 150 bins over the whole box.
+  * ``compute_dtype="bf16"``: evaluate the field MLP in bf16 (f32 params +
+    accumulation) — rendering is pure inference, so the half-precision
+    matmuls are quality-neutral at the occupancy/color ranges here.
 """
 
 from __future__ import annotations
@@ -27,9 +39,49 @@ from openobj_tpu.models import object_field
 from openobj_tpu.ops import mlp, rendering, sampling
 
 
+def _probe_tighten(
+    params: dict,
+    origins,                   # [..., 3] (broadcastable against near)
+    dirs_w,                    # [..., 3]
+    near,                      # [...]
+    far,                       # [...]
+    obj_center,
+    n_probe: int,
+    max_deg: int,
+    compute_dtype: str,
+    opacity_floor: float = 0.3,
+    widen_bins: float = 3.0,
+):
+    """Alpha-only probe: n_probe deterministic bin midpoints over
+    [near, far] -> termination-weighted surface depth -> tightened
+    (near', far') window of +-widen_bins probe-bin widths around it.
+    Rays with probe opacity < opacity_floor (no surface) keep [near, far]."""
+    e = jnp.linspace(0.0, 1.0, n_probe + 1)
+    mids = 0.5 * (e[1:] + e[:-1])
+    span = far - near
+    z = near[..., None] + span[..., None] * mids
+    pts = sampling.rays_to_points(origins, dirs_w, z, obj_center)
+    a, _, _ = object_field.field_apply(
+        params, pts, max_deg=max_deg, do_color=False, do_clip=False,
+        compute_dtype=compute_dtype,
+    )
+    occ = rendering.occupancy_activation(a[..., 0])
+    w = rendering.occupancy_to_termination(occ)
+    opacity = jnp.sum(w, axis=-1)
+    d = rendering.render(w, z) / jnp.maximum(opacity, 1e-6)
+    delta = widen_bins * span / n_probe
+    found = opacity > opacity_floor
+    t0 = jnp.where(found, jnp.maximum(near, d - delta), near)
+    t1 = jnp.where(found, jnp.minimum(far, d + delta), far)
+    return t0, jnp.maximum(t1, t0 + 1e-3)
+
+
 @partial(
     jax.jit,
-    static_argnames=("n_bins", "max_deg", "chunk_size", "render_part"),
+    static_argnames=(
+        "n_bins", "max_deg", "chunk_size", "render_part", "two_pass",
+        "n_probe", "compute_dtype",
+    ),
 )
 def render_rays_obb(
     params: dict,
@@ -45,6 +97,9 @@ def render_rays_obb(
     opacity_thresh: float = 0.9,
     far_extension: float = 0.2,
     render_part: bool = False,
+    two_pass: bool = False,
+    n_probe: int = 32,
+    compute_dtype: str = "f32",
 ):
     """Render depth/color (and optional part features) for N rays against one
     object field bounded by an oriented box. Returns dict with
@@ -68,12 +123,17 @@ def render_rays_obb(
 
     def render_chunk(args):
         k, o_c, d_c, nr, fr = args
+        if two_pass:
+            nr, fr = _probe_tighten(
+                params, o_c, d_c, nr, fr, obj_center, n_probe, max_deg,
+                compute_dtype,
+            )
         z_edges = sampling.stratified_bins(k, nr, fr, n_bins, nr.shape)
         z = 0.5 * (z_edges[..., 1:] + z_edges[..., :-1])  # midpoints
         pts = sampling.rays_to_points(o_c, d_c, z, obj_center)
         a, c, f = object_field.field_apply(
             params, pts, max_deg=max_deg, do_clip=render_part,
-            clip_hidden_only=True,
+            clip_hidden_only=True, compute_dtype=compute_dtype,
         )
         occ = rendering.occupancy_activation(a[..., 0])
         w = rendering.occupancy_to_termination(occ)
@@ -124,6 +184,9 @@ def render_object_view(
     n_bins: int = 150,
     render_part: bool = False,
     chunk_size: int = 4096,
+    two_pass: bool = False,
+    n_probe: int = 32,
+    compute_dtype: str = "f32",
 ):
     """Full-frame render of one object (reference render_2D_syn)."""
     h, w, _ = cam_dirs.shape
@@ -139,6 +202,7 @@ def render_object_view(
         params, origins, dirs_w, jnp.asarray(t_wo), jnp.asarray(obb.extent, jnp.float32),
         jnp.asarray(obj_center, jnp.float32), key,
         n_bins=n_bins, chunk_size=chunk_size, render_part=render_part,
+        two_pass=two_pass, n_probe=n_probe, compute_dtype=compute_dtype,
     )
     return {
         k: np.asarray(v).reshape((h, w) + np.asarray(v).shape[1:])
@@ -182,7 +246,10 @@ def composite_views(
 
 @partial(
     jax.jit,
-    static_argnames=("n_bins", "max_deg", "max_hit_rays", "chunk"),
+    static_argnames=(
+        "n_bins", "max_deg", "max_hit_rays", "chunk", "two_pass", "n_probe",
+        "compute_dtype",
+    ),
 )
 def render_frame_batched(
     stacked_params: dict,      # leaves [O, ...] (fg stack or a gathered subset)
@@ -199,6 +266,9 @@ def render_frame_batched(
     chunk: int = 2048,
     opacity_thresh: float = 0.9,
     far_extension: float = 0.2,
+    two_pass: bool = False,
+    n_probe: int = 32,
+    compute_dtype: str = "f32",
 ):
     """Render EVERY object of a stack at one pose in a single jitted program
     and z-buffer composite on device.
@@ -255,11 +325,17 @@ def render_frame_batched(
 
         def render_chunk(c_args):
             kc, nr_c, fr_c, dg_c = c_args
+            if two_pass:
+                nr_c, fr_c = _probe_tighten(
+                    params, origin, dg_c, nr_c, fr_c, center, n_probe,
+                    max_deg, compute_dtype,
+                )
             z_edges = sampling.stratified_bins(kc, nr_c, fr_c, n_bins, nr_c.shape)
             z = 0.5 * (z_edges[..., 1:] + z_edges[..., :-1])
             pts = origin + dg_c[:, None, :] * z[..., None] - center
             a, c, _ = object_field.field_apply(
-                params, pts, max_deg=max_deg, do_clip=False
+                params, pts, max_deg=max_deg, do_clip=False,
+                compute_dtype=compute_dtype,
             )
             occ = rendering.occupancy_activation(a[..., 0])
             w = rendering.occupancy_to_termination(occ)

@@ -119,7 +119,8 @@ def save_checkpoints(mapper, log_dir: str, t_wc_last: np.ndarray):
 
 def render_dataset(mapper, dataset, log_dir: str, mapping_class: dict,
                    bg_ids=(0, 2, 3), n_bins: int = 150, chunk: int = 2048,
-                   hit_frac: float = 0.25):
+                   hit_frac: float = 0.25, two_pass: bool = False,
+                   n_probe: int = 32):
     """Render every dataset pose through all object fields with z-buffer
     compositing; write rgb/depth/maskid PNGs (train.py:550-612 — the maskid
     images are the mIoU-eval artifact).
@@ -127,7 +128,12 @@ def render_dataset(mapper, dataset, log_dir: str, mapping_class: dict,
     Foreground objects render in ONE jitted dispatch per frame
     (renderer.render_frame_batched, OBB-hit-compacted); background-id
     entries (wall/floor/ceiling + the bg model, which paint color but never
-    the z-buffer — reference train.py:592-594) render per object."""
+    the z-buffer — reference train.py:592-594) render per object.
+
+    two_pass: probe-and-tighten empty-space skipping (renderer docstring) —
+    measured 1.6x faster at the room_0 render envelope with the refine pass
+    at 64 bins; parity depends on the fields having converged to hard
+    surfaces, so it is opt-in."""
     import cv2
     import jax
     import jax.numpy as jnp
@@ -186,8 +192,10 @@ def render_dataset(mapper, dataset, log_dir: str, mapping_class: dict,
             out = renderer.render_frame_batched(
                 params_sub, jnp.asarray(t_wo), jnp.asarray(extents),
                 jnp.asarray(centers), active, origins, dirs_w, k,
-                n_bins=n_bins, max_hit_rays=mhr, chunk=chunk,
+                n_bins=n_bins if not two_pass else max(n_bins // 2, 48),
+                max_hit_rays=mhr, chunk=chunk,
                 max_deg=mapper.cfg.max_deg,
+                two_pass=two_pass, n_probe=n_probe,
             )
             win = np.asarray(out["winner"]).reshape(h, w)
             zb = np.asarray(out["depth"]).reshape(h, w)
@@ -204,7 +212,9 @@ def render_dataset(mapper, dataset, log_dir: str, mapping_class: dict,
             key, k = jax.random.split(key)
             v = renderer.render_object_view(
                 params, st.bbox3d, st.obj_center, sample.t_wc,
-                mapper.cam_dirs, k, n_bins=n_bins,
+                mapper.cam_dirs, k,
+                n_bins=n_bins if not two_pass else max(n_bins // 2, 48),
+                two_pass=two_pass, n_probe=n_probe,
             )
             d = np.where(v["hit"], v["depth"], 100.0)
             ok = zbuf > d
@@ -260,6 +270,10 @@ def main(argv=None):
     parser.add_argument("--ckpt-every", type=int, default=None,
                         help="also checkpoint every N frames (the reference's "
                              "n_vis_iter cadence; default: end of run only)")
+    parser.add_argument("--render-two-pass", action="store_true",
+                        help="empty-space-skipping render (probe pass + "
+                             "tightened refine pass; ~1.6x faster at the "
+                             "room_0 render envelope)")
     parser.add_argument("--resume", action="store_true",
                         help="resume from <logdir>/scene_state.npz (full "
                              "training state incl. optimizer — the reference "
@@ -342,7 +356,9 @@ def main(argv=None):
     vis = cfg.raw.get("vis", {})
     if bool(vis.get("if_render", 0)):
         render_dataset(mapper, dataset, args.logdir, mapping_class,
-                       bg_ids=cfg.bg_ids)
+                       bg_ids=cfg.bg_ids,
+                       two_pass=args.render_two_pass
+                       or bool(vis.get("two_pass", 0)))
     if bool(vis.get("if_obj", 0)) or cfg.save_mesh:
         n = export_meshes(mapper, args.logdir, cfg.grid_dim,
                           cfg.live_voxel_size, cfg.save_mesh, cfg.save_pcd)

@@ -110,7 +110,7 @@ class TestBatchedRender:
         assert not (np.asarray(out["winner"]) == 1).any()
 
     def test_hit_cap_truncates_gracefully(self, setup):
-        """max_hit_rays smaller than the真 hit count: renders a subset,
+        """max_hit_rays smaller than the true hit count: renders a subset,
         still finite and well-formed."""
         h, w, origins, dirs_w, boxes, params, stacked, t_wo, extents = setup
         out = renderer.render_frame_batched(
@@ -121,3 +121,84 @@ class TestBatchedRender:
         win = np.asarray(out["winner"])
         assert (win >= -1).all() and (win <= 1).all()
         assert np.isfinite(np.asarray(out["color"])).all()
+
+
+class TestTwoPassRender:
+    """Empty-space skipping (probe-and-tighten) parity with the one-pass
+    renderer, per-object and batched."""
+
+    def test_obb_two_pass_matches_one_pass(self, setup):
+        h, w, origins, dirs_w, boxes, params, stacked, t_wo, extents = setup
+        kwargs = dict(chunk_size=128)
+        one = renderer.render_rays_obb(
+            params[0], origins, dirs_w, t_wo[0], extents[0], jnp.zeros(3),
+            jax.random.PRNGKey(1), n_bins=60, **kwargs,
+        )
+        two = renderer.render_rays_obb(
+            params[0], origins, dirs_w, t_wo[0], extents[0], jnp.zeros(3),
+            jax.random.PRNGKey(1), n_bins=24, two_pass=True, n_probe=16,
+            **kwargs,
+        )
+        h1, h2 = np.asarray(one["hit"]), np.asarray(two["hit"])
+        np.testing.assert_array_equal(h1, h2)
+        d1, d2 = np.asarray(one["depth"]), np.asarray(two["depth"])
+        assert np.abs(d1 - d2)[h1].max() < 0.05  # within a refine-bin width
+
+    def test_transparent_field_unchanged(self, setup):
+        """A field with occupancy ~0 everywhere: the probe finds no surface,
+        the full interval is kept, and the ray stays transparent."""
+        h, w, origins, dirs_w, boxes, params, stacked, t_wo, extents = setup
+        p = _solid_field(jax.random.PRNGKey(3), bias=-50.0)
+        for tp in (False, True):
+            out = renderer.render_rays_obb(
+                p, origins, dirs_w, t_wo[0], extents[0], jnp.zeros(3),
+                jax.random.PRNGKey(1), n_bins=24, chunk_size=128, two_pass=tp,
+                n_probe=16,
+            )
+            assert not np.asarray(out["hit"]).any()
+
+    def test_batched_two_pass_matches(self, setup):
+        h, w, origins, dirs_w, boxes, params, stacked, t_wo, extents = setup
+        one = renderer.render_frame_batched(
+            stacked, t_wo, extents, jnp.zeros((2, 3)), jnp.ones((2,), bool),
+            origins, dirs_w, jax.random.PRNGKey(1),
+            n_bins=60, max_hit_rays=512, chunk=128,
+        )
+        two = renderer.render_frame_batched(
+            stacked, t_wo, extents, jnp.zeros((2, 3)), jnp.ones((2,), bool),
+            origins, dirs_w, jax.random.PRNGKey(1),
+            n_bins=24, max_hit_rays=512, chunk=128, two_pass=True, n_probe=16,
+        )
+        w1, w2 = np.asarray(one["winner"]), np.asarray(two["winner"])
+        np.testing.assert_array_equal(w1, w2)
+        d1, d2 = np.asarray(one["depth"]), np.asarray(two["depth"])
+        sel = w1 >= 0
+        assert np.abs(d1[sel] - d2[sel]).max() < 0.05  # inf depths are no-hit
+
+    def test_bf16_eval_close_to_f32(self, setup):
+        """bf16 matmul rendering stays within render tolerance of f32 on a
+        non-degenerate (randomly initialized, mildly occupied) field."""
+        h, w, origins, dirs_w, boxes, params, stacked, t_wo, extents = setup
+        p = object_field.init_field_params(
+            jax.random.PRNGKey(7), hidden=16, clip_size=4, scale=2.0
+        )
+        p["mlp"]["out_alpha"]["b"] = jnp.full_like(
+            p["mlp"]["out_alpha"]["b"], 0.5
+        )
+        outs = {}
+        for cdt in ("f32", "bf16"):
+            outs[cdt] = renderer.render_rays_obb(
+                p, origins, dirs_w, t_wo[0], extents[0], jnp.zeros(3),
+                jax.random.PRNGKey(1), n_bins=40, chunk_size=128,
+                compute_dtype=cdt,
+            )
+        hit = np.asarray(outs["f32"]["hit"]) & np.asarray(outs["bf16"]["hit"])
+        if hit.any():
+            d = np.abs(
+                np.asarray(outs["f32"]["depth"]) - np.asarray(outs["bf16"]["depth"])
+            )[hit]
+            assert d.max() < 0.05
+        c = np.abs(
+            np.asarray(outs["f32"]["color"]) - np.asarray(outs["bf16"]["color"])
+        )
+        assert c.max() < 0.05
