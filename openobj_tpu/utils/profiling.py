@@ -10,12 +10,21 @@ per-stage statistics survive past a single print.
 from __future__ import annotations
 
 import contextlib
+import threading
 import time
 from collections import defaultdict
 
 import jax
 
-_STATS: dict[str, list[float]] = defaultdict(list)
+# thread-local so concurrent scenes (parallel.multislice.run_parallel) keep
+# separate per-stage aggregates
+_TLS = threading.local()
+
+
+def _stats_dict() -> dict[str, list[float]]:
+    if not hasattr(_TLS, "stats"):
+        _TLS.stats = defaultdict(list)
+    return _TLS.stats
 
 
 @contextlib.contextmanager
@@ -30,14 +39,14 @@ def performance_measure(name: str, verbose: bool = True, block: bool = False):
         except Exception:
             pass
     dt_ms = (time.perf_counter_ns() - t0) / 1e6
-    _STATS[name].append(dt_ms)
+    _stats_dict()[name].append(dt_ms)
     if verbose:
         print(f"[perf] {name}: {dt_ms:.2f} ms")
 
 
 def stats() -> dict[str, dict]:
     out = {}
-    for name, xs in _STATS.items():
+    for name, xs in _stats_dict().items():
         out[name] = {
             "n": len(xs),
             "mean_ms": sum(xs) / len(xs),
@@ -48,7 +57,7 @@ def stats() -> dict[str, dict]:
 
 
 def reset_stats():
-    _STATS.clear()
+    _stats_dict().clear()
 
 
 @contextlib.contextmanager

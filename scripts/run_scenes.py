@@ -3,12 +3,22 @@
 for every scene config in a directory.
 
     python scripts/run_scenes.py configs/replica --data-root /data/replica \
-        --out runs/ [--class-features class_feats.npz] [--max-frames N]
+        --out runs/ [--class-features class_feats.npz] [--max-frames N] \
+        [--parallel N] [--scene-shard i:n]
 
 Per scene: the train CLI (openobj_tpu.train), the checkpoint->bundle export
 (openobj_tpu.viz.export), and — when --gt-rgb-name is given — the PSNR/mIoU
 eval (openobj_tpu.eval). Writes runs/<scene>/summary.json per scene and a
 combined runs/summary.json.
+
+Scale-out (parallel.multislice):
+  --parallel N      split the visible devices into N groups and train N
+                    scenes concurrently (scene-per-group; remaining scenes
+                    queue round-robin). Scenes are independent, so this is
+                    the DCN-level parallelism axis.
+  --scene-shard i:n for multi-host launches: this invocation takes every
+                    n-th scene starting at i (combine with --parallel for
+                    per-host device groups).
 """
 
 from __future__ import annotations
@@ -22,6 +32,43 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
+def run_one_scene(cfg_path: str, scene: str, args) -> dict:
+    from openobj_tpu import train as train_cli
+    from openobj_tpu.viz import export as viz_export
+
+    logdir = os.path.join(args.out, scene)
+    os.makedirs(logdir, exist_ok=True)
+    if args.data_root:
+        cfg = json.load(open(cfg_path))
+        cfg["dataset"]["path"] = os.path.join(args.data_root, scene)
+        cfg_path = os.path.join(logdir, "config.json")
+        json.dump(cfg, open(cfg_path, "w"), indent=2)
+    print(f"=== {scene} ===")
+    cli = ["--config", cfg_path, "--logdir", logdir]
+    if args.class_features:
+        cli += ["--class-features", args.class_features]
+    if args.max_frames:
+        cli += ["--max-frames", str(args.max_frames)]
+    try:
+        train_cli.main(cli)
+        entry = {"status": "ok"}
+        if not args.skip_export:
+            bundle = os.path.join(logdir, "map_vis.pkl.gz")
+            out = viz_export.export_from_checkpoints(
+                os.path.join(logdir, "ckpt"), bundle
+            )
+            entry["objects"] = len(out)
+        timing = os.path.join(logdir, "timing.json")
+        if os.path.exists(timing):
+            entry["timing"] = json.load(open(timing))
+    except Exception as e:  # keep going across scenes
+        entry = {"status": f"failed: {e}"}
+        print(f"{scene} FAILED: {e}")
+    json.dump(entry, open(os.path.join(logdir, "summary.json"), "w"),
+              indent=2)
+    return entry
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("config_dir")
@@ -31,48 +78,41 @@ def main(argv=None):
     ap.add_argument("--class-features", default=None)
     ap.add_argument("--max-frames", type=int, default=None)
     ap.add_argument("--skip-export", action="store_true")
+    ap.add_argument("--parallel", type=int, default=None,
+                    help="train N scenes concurrently on N device groups")
+    ap.add_argument("--scene-shard", default=None,
+                    help='"i:n": this host takes every n-th scene from i')
     args = ap.parse_args(argv)
-
-    from openobj_tpu import train as train_cli
-    from openobj_tpu.viz import export as viz_export
 
     configs = sorted(glob.glob(os.path.join(args.config_dir, "*.json")))
     if not configs:
         raise FileNotFoundError(f"no configs in {args.config_dir}")
+    if args.scene_shard:
+        from openobj_tpu.parallel.multislice import shard_scene_list
+
+        configs = shard_scene_list(configs, args.scene_shard)
+        print(f"scene shard {args.scene_shard}: "
+              f"{[os.path.basename(c) for c in configs]}")
+
+    scenes = [os.path.splitext(os.path.basename(c))[0] for c in configs]
     summary = {}
-    for cfg_path in configs:
-        scene = os.path.splitext(os.path.basename(cfg_path))[0]
-        logdir = os.path.join(args.out, scene)
-        os.makedirs(logdir, exist_ok=True)
-        if args.data_root:
-            cfg = json.load(open(cfg_path))
-            cfg["dataset"]["path"] = os.path.join(args.data_root, scene)
-            cfg_path = os.path.join(logdir, "config.json")
-            json.dump(cfg, open(cfg_path, "w"), indent=2)
-        print(f"=== {scene} ===")
-        cli = ["--config", cfg_path, "--logdir", logdir]
-        if args.class_features:
-            cli += ["--class-features", args.class_features]
-        if args.max_frames:
-            cli += ["--max-frames", str(args.max_frames)]
-        try:
-            train_cli.main(cli)
-            entry = {"status": "ok"}
-            if not args.skip_export:
-                bundle = os.path.join(logdir, "map_vis.pkl.gz")
-                out = viz_export.export_from_checkpoints(
-                    os.path.join(logdir, "ckpt"), bundle
-                )
-                entry["objects"] = len(out)
-            timing = os.path.join(logdir, "timing.json")
-            if os.path.exists(timing):
-                entry["timing"] = json.load(open(timing))
-        except Exception as e:  # keep going across scenes
-            entry = {"status": f"failed: {e}"}
-            print(f"{scene} FAILED: {e}")
-        summary[scene] = entry
-        json.dump(entry, open(os.path.join(logdir, "summary.json"), "w"),
-                  indent=2)
+    if args.parallel and args.parallel > 1:
+        from openobj_tpu.parallel.multislice import device_groups, run_parallel
+
+        groups = device_groups(args.parallel)
+        print(f"{len(groups)} device groups: "
+              f"{[[str(d) for d in g] for g in groups]}")
+        tasks = [
+            (scene, lambda devs, c=cfg_path, s=scene: run_one_scene(c, s, args))
+            for cfg_path, scene in zip(configs, scenes)
+        ]
+        for r in run_parallel(tasks, groups=groups):
+            summary[r.name] = (
+                r.result if r.ok else {"status": f"failed: {r.error}"}
+            )
+    else:
+        for cfg_path, scene in zip(configs, scenes):
+            summary[scene] = run_one_scene(cfg_path, scene, args)
     json.dump(summary, open(os.path.join(args.out, "summary.json"), "w"),
               indent=2)
     print(json.dumps({k: v.get("status") for k, v in summary.items()}))
