@@ -183,7 +183,7 @@ _HTML = """<!DOCTYPE html>
  <div>mode: <select id="mode"></select></div>
  <div>[R]gb [I]nstance [S]emantic part-pca[O] [C]eiling [A]bboxes [H]ide-misses
       [V]save view [B]restore</div>
- <div id="info"></div>
+ <div id="info"></div>{live_block}
 </div>
 <script type="importmap">{{"imports":{{
  "three":"https://unpkg.com/three@0.160.0/build/three.module.js",
@@ -263,13 +263,48 @@ addEventListener('keydown', e => {{
   if (k==='b') {{ const s = JSON.parse(localStorage.getItem('oo_view')||'null');
     if (s) {{ cam.position.fromArray(s.p); ctl.target.fromArray(s.t); }} }}
 }});
-setMode(DATA.initial);
+setMode(DATA.initial);{live_js}
 addEventListener('resize', () => {{
   cam.aspect = innerWidth/innerHeight; cam.updateProjectionMatrix();
   renderer.setSize(innerWidth, innerHeight);
 }});
 renderer.setAnimationLoop(() => {{ ctl.update(); renderer.render(scene, cam); }});
 </script></body></html>
+"""
+
+
+# substituted into _HTML's {live_js} field (plain value — not re-formatted,
+# so raw JS braces are fine here)
+_LIVE_JS = """
+const qgo = document.getElementById('qgo');
+qgo.onclick = async () => {
+  const t = document.getElementById('qtext').value;
+  if (!t) return;
+  const p = document.getElementById('qpart').value;
+  const k = document.getElementById('qtopk').value;
+  const u = `/query?text=${encodeURIComponent(t)}` +
+            (p ? `&part=${encodeURIComponent(p)}` : '') +
+            (k ? `&topk=${encodeURIComponent(k)}` : '');
+  document.getElementById('info').textContent = 'querying...';
+  try {
+    const r = await fetch(u);
+    if (!r.ok) throw new Error(await r.text());
+    const j = await r.json();
+    DATA.colorings['live'] = j.colors;
+    for (const [oid, m] of Object.entries(meshes))
+      if (j.scores && j.scores[oid] !== undefined)
+        m.userData.score = j.scores[oid];
+    if (![...sel.options].some(o => o.value === 'live')) {
+      const o = document.createElement('option');
+      o.value = o.textContent = 'live'; sel.appendChild(o);
+    }
+    setMode('live');
+    document.getElementById('info').textContent =
+      `live: ${j.query}` + (j.part ? ` / ${j.part}` : '');
+  } catch (e) {
+    document.getElementById('info').textContent = 'query failed: ' + e.message;
+  }
+};
 """
 
 
@@ -283,8 +318,14 @@ def build_html(
     title: str = "openobj-tpu map",
     ceiling_height: float = 1.0,
     hide_thresh: float = 0.5,
+    live_query: bool = False,
 ) -> str:
-    """Write the self-contained viewer HTML; returns the path."""
+    """Write the self-contained viewer HTML; returns the path.
+
+    live_query=True adds a query box that POSTs to the serving process's
+    /query endpoint (viz.server) and installs the returned coloring as a
+    'live' mode — interactive re-querying with real encoders, reference
+    F/P keys (vis_interaction.py:322-438) without rebaking the HTML."""
     modes = bundle_colorings(bundle, class_colors=class_colors)
     if colorings:
         modes.update(colorings)
@@ -307,9 +348,19 @@ def build_html(
         },
         "initial": initial if initial in modes else "rgb",
     }
+    live_block = live_js = ""
+    if live_query:
+        live_block = (
+            '\n <div id="livebox">query <input id="qtext" size="16"> '
+            'part <input id="qpart" size="10"> '
+            'top-k <input id="qtopk" size="3"> '
+            '<button id="qgo">go</button></div>'
+        )
+        live_js = _LIVE_JS
     html = _HTML.format(
         title=title, data_json=json.dumps(data),
         ceiling_height=ceiling_height, hide_thresh=hide_thresh,
+        live_block=live_block, live_js=live_js,
     )
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
     with open(out_path, "w") as f:
