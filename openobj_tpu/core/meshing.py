@@ -61,6 +61,142 @@ def adaptive_grid_dim(obb: OrientedBox, voxel_size: float, grid_dim: int) -> int
     return int(min(np.max(obb.extent) // voxel_size + 1, grid_dim))
 
 
+def _world_points(coords01: np.ndarray, scale, transform, obj_center):
+    """[-1,1]-lattice coords -> field-frame points (object-centered), same
+    convention as rendering.make_3d_grid + mesh_object."""
+    pts = coords01 * scale
+    pts = pts @ np.asarray(transform[:3, :3]).T + np.asarray(transform[:3, 3])
+    return jnp.asarray(pts - obj_center, jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("block", "d", "max_deg", "chunk_blocks"))
+def _eval_blocks(
+    params: dict,
+    idx: jnp.ndarray,          # [A, 3] int32 block indices (A static-padded)
+    scale: jnp.ndarray,
+    transform: jnp.ndarray,
+    obj_center: jnp.ndarray,
+    block: int,
+    d: int,
+    max_deg: int = 5,
+    chunk_blocks: int = 256,
+) -> jnp.ndarray:
+    """Occupancy of the block^3 voxels of each listed block, [A, B, B, B].
+    Coordinates are built ON DEVICE from the (tiny) index array — no host
+    lattice materialization or H2D point transfer."""
+    a = idx.shape[0]
+    pad = (-a) % chunk_blocks
+    idx_p = jnp.concatenate([idx, jnp.zeros((pad, 3), idx.dtype)])
+    off = jnp.arange(block)
+    cube = jnp.stack(jnp.meshgrid(off, off, off, indexing="ij"), axis=-1)
+
+    def one(ix):
+        vi = ix[:, None, None, None, :] * block + cube[None]
+        coords = -1.0 + 2.0 * vi.astype(jnp.float32) / (d - 1)
+        pts = (coords * scale) @ transform[:3, :3].T + transform[:3, 3]
+        alpha, _, _ = object_field.field_apply(
+            params, pts - obj_center, max_deg=max_deg,
+            do_color=False, do_clip=False,
+        )
+        return rendering.occupancy_activation(alpha[..., 0])
+
+    occ = jax.lax.map(one, idx_p.reshape(-1, chunk_blocks, 3))
+    return occ.reshape(-1, block, block, block)[:a]
+
+
+def eval_grid_occupancy(
+    params: dict,
+    scale: np.ndarray,
+    transform: np.ndarray,
+    obj_center: np.ndarray,
+    grid_dim: int,
+    max_deg: int = 5,
+    coarse_to_fine: bool = False,
+    block: int = 8,
+    level: float = 0.5,
+    margin: float = 0.35,
+    chunk_size: int = 65536,
+) -> np.ndarray:
+    """occ [dim, dim, dim] over the meshing lattice.
+
+    coarse_to_fine=True skips empty space: evaluate the (dim/block + 1)^3
+    block-corner lattice first, keep only blocks whose corner occupancies
+    bracket [level - margin, level + margin] (dilated by one block), and
+    evaluate the full-resolution field only inside those. Skipped blocks
+    take their coarse interpolation's side of the level set (constant
+    min-corner value), so marching cubes never crosses the level there.
+    Exact when the surface crosses block corners monotonically; thin
+    features (< block voxels) entirely interior to a block can be missed —
+    the same failure mode as any octree/empty-space-skipping extractor, so
+    this is opt-in (the default full evaluation is unchanged)."""
+    d = grid_dim
+    if not coarse_to_fine or d % block or d // block < 3:
+        grid = rendering.make_3d_grid(
+            occ_range=(-1.0, 1.0), dim=d,
+            scale=jnp.asarray(scale, jnp.float32),
+            transform=jnp.asarray(transform),
+        ).reshape(-1, 3) - jnp.asarray(obj_center, jnp.float32)
+        occ, _, _ = eval_points_chunked(
+            params, grid, max_deg=max_deg, chunk_size=min(chunk_size, d**3)
+        )
+        return np.asarray(occ, np.float32).reshape(d, d, d)
+
+    nb = d // block
+    # block-corner lattice: voxel indices 0, block, ..., nb*block (the last
+    # lies one step past dim-1; the field is defined everywhere, and that
+    # corner only gates the boundary blocks conservatively)
+    u = -1.0 + 2.0 * (np.arange(nb + 1) * block) / (d - 1)
+    cc = np.stack(np.meshgrid(u, u, u, indexing="ij"), axis=-1).reshape(-1, 3)
+    occ_c, _, _ = eval_points_chunked(
+        params, _world_points(cc, scale, transform, obj_center),
+        max_deg=max_deg, chunk_size=min(chunk_size, cc.shape[0]),
+    )
+    occ_c = np.asarray(occ_c, np.float32).reshape(nb + 1, nb + 1, nb + 1)
+
+    # per-block corner min/max via the 8 shifted corner views
+    mn = np.full((nb, nb, nb), np.inf, np.float32)
+    mx = np.full((nb, nb, nb), -np.inf, np.float32)
+    for di in (0, 1):
+        for dj in (0, 1):
+            for dk in (0, 1):
+                c = occ_c[di:nb + di, dj:nb + dj, dk:nb + dk]
+                mn = np.minimum(mn, c)
+                mx = np.maximum(mx, c)
+    active = (mn <= level + margin) & (mx >= level - margin)
+    # dilate by one block so surfaces grazing a block face are kept
+    from scipy import ndimage
+
+    active = ndimage.binary_dilation(active, iterations=1)
+
+    # skipped blocks: constant on their side of the level set
+    occ = np.where(
+        np.repeat(np.repeat(np.repeat(mn, block, 0), block, 1), block, 2)
+        > level, 1.0, 0.0,
+    ).astype(np.float32)[:d, :d, :d]
+
+    idx = np.argwhere(active)                    # [A, 3] block indices
+    if idx.shape[0] == 0:
+        return occ
+    # pad the block count to a power of two (>= 256) so recompiles are
+    # logarithmic in scene variety; dummy blocks re-evaluate block 0 and are
+    # dropped by the slice inside _eval_blocks
+    a = idx.shape[0]
+    a_pad = max(256, 1 << (a - 1).bit_length())
+    idx_p = np.zeros((a_pad, 3), np.int32)
+    idx_p[:a] = idx
+    occ_f = np.asarray(_eval_blocks(
+        params, jnp.asarray(idx_p), jnp.asarray(scale, jnp.float32),
+        jnp.asarray(transform, jnp.float32),
+        jnp.asarray(obj_center, jnp.float32),
+        block=block, d=d, max_deg=max_deg,
+    ), np.float32)[:a]
+    # vectorized scatter: view occ as [nb, B, nb, B, nb, B]; advanced block
+    # indices land in the leading result axis
+    occ6 = occ.reshape(nb, block, nb, block, nb, block)
+    occ6[idx[:, 0], :, idx[:, 1], :, idx[:, 2], :] = occ_f
+    return occ
+
+
 def mesh_object(
     params: dict,
     obb: OrientedBox,
@@ -71,6 +207,8 @@ def mesh_object(
     with_part: bool = False,
     max_deg: int = 5,
     level: float = 0.5,
+    coarse_to_fine: bool = False,
+    block: int = 8,
 ) -> TriangleMesh | None:
     """Extract one object's mesh in world coordinates."""
     bound_extent = 0.995 if is_bg else 0.9
@@ -79,22 +217,15 @@ def mesh_object(
     transform[:3, :3] = obb.r
     transform[:3, 3] = obb.center
 
-    grid = rendering.make_3d_grid(
-        occ_range=(-1.0, 1.0), dim=grid_dim,
-        scale=jnp.asarray(scale, jnp.float32),
-        transform=jnp.asarray(transform),
-    ).reshape(-1, 3)
-    grid = grid - jnp.asarray(obj_center, jnp.float32)
-
-    occ, _, _ = eval_points_chunked(params, grid, max_deg=max_deg)
-    occ = np.asarray(occ, np.float32)
+    occ = eval_grid_occupancy(
+        params, scale, transform, obj_center, grid_dim, max_deg=max_deg,
+        coarse_to_fine=coarse_to_fine, block=block, level=level,
+    )
     if occ.max() <= level:
         return None
     from openobj_tpu import native
 
-    out = native.marching_tetrahedra(
-        occ.reshape(grid_dim, grid_dim, grid_dim), level=level
-    )
+    out = native.marching_tetrahedra(occ, level=level)
     if out is None:
         return None
     verts01, faces = out
@@ -140,7 +271,9 @@ def object_point_cloud(
         occ_range=(-1.0, 1.0), dim=grid_dim,
         scale=jnp.asarray(scale, jnp.float32), transform=jnp.asarray(transform),
     ).reshape(-1, 3) - jnp.asarray(obj_center, jnp.float32)
-    occ, color, _ = eval_points_chunked(params, grid, max_deg=max_deg)
+    occ, color, _ = eval_points_chunked(
+        params, grid, max_deg=max_deg, chunk_size=min(65536, grid_dim**3)
+    )
     occ = np.asarray(occ)
     mask = occ > level
     if not mask.any():

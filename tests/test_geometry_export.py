@@ -173,6 +173,59 @@ class TestMeshing:
         obb = geometry.OrientedBox(np.zeros(3), np.eye(3), np.ones(3))
         assert meshing.mesh_object(params, obb, np.zeros(3), grid_dim=16) is None
 
+    def test_coarse_to_fine_exact_on_sphere(self, key):
+        """Empty-space skipping reproduces the full evaluation's mesh bit-
+        for-bit on a compact (trained sphere) field: every level crossing
+        happens in an active block, and active blocks are evaluated at full
+        resolution."""
+        params = _sphere_field_params(key)
+        obb = geometry.OrientedBox(np.zeros(3), np.eye(3), np.array([1.4] * 3))
+        m1 = meshing.mesh_object(
+            params, obb, np.zeros(3), grid_dim=48, with_color=False
+        )
+        m2 = meshing.mesh_object(
+            params, obb, np.zeros(3), grid_dim=48, with_color=False,
+            coarse_to_fine=True, block=8,
+        )
+        assert m1 is not None and m2 is not None
+        assert len(m1.vertices) == len(m2.vertices)
+        np.testing.assert_allclose(m1.vertices, m2.vertices, atol=1e-5)
+        np.testing.assert_array_equal(m1.faces, m2.faces)
+
+    def test_coarse_to_fine_sign_agreement_random_field(self, key):
+        """On a non-compact random field (surface everywhere — the adverse
+        case), the occupancy sign still agrees voxel-for-voxel."""
+        params = object_field.init_field_params(key, hidden=16, clip_size=4)
+        params["mlp"]["out_alpha"]["w"] = params["mlp"]["out_alpha"]["w"] * 30.0
+        scale = np.ones(3, np.float32)
+        tr = np.eye(4, dtype=np.float32)
+        o1 = meshing.eval_grid_occupancy(params, scale, tr, np.zeros(3), 32)
+        o2 = meshing.eval_grid_occupancy(
+            params, scale, tr, np.zeros(3), 32, coarse_to_fine=True, block=8
+        )
+        assert ((o1 > 0.5) == (o2 > 0.5)).all()
+
+    def test_coarse_to_fine_empty_field(self, key):
+        params = object_field.init_field_params(key, hidden=8, clip_size=4)
+        params["mlp"]["out_alpha"]["b"] = params["mlp"]["out_alpha"]["b"] - 100.0
+        occ = meshing.eval_grid_occupancy(
+            params, np.ones(3, np.float32), np.eye(4, dtype=np.float32),
+            np.zeros(3), 32, coarse_to_fine=True, block=8,
+        )
+        assert (occ == 0.0).all()
+
+    def test_coarse_to_fine_indivisible_falls_back(self, key):
+        """grid_dim not divisible by block -> silently uses the exact full
+        path."""
+        params = _sphere_field_params(key)
+        scale = np.full(3, 1.4 / 1.8, np.float32)
+        tr = np.eye(4, dtype=np.float32)
+        o1 = meshing.eval_grid_occupancy(params, scale, tr, np.zeros(3), 30)
+        o2 = meshing.eval_grid_occupancy(
+            params, scale, tr, np.zeros(3), 30, coarse_to_fine=True, block=8
+        )
+        np.testing.assert_array_equal(o1, o2)
+
     def test_export_roundtrip(self, key, tmp_path):
         params = _sphere_field_params(key)
         obb = geometry.OrientedBox(np.zeros(3), np.eye(3), np.array([1.4] * 3))
