@@ -45,6 +45,9 @@ class SceneConfig:
     eps_fine_vis: float = 0.1
     save_mesh: bool = True
     save_pcd: bool = False
+    # 8-coefficient distortion [k1, k2, p1, p2, k3, k4, k5, k6] or None
+    # (reference cfg.py:52-65)
+    distortion: tuple | None = None
     raw: dict = field(default_factory=dict)
 
 
@@ -70,6 +73,14 @@ def load_scene_config(path: str) -> SceneConfig:
     camera = Camera(
         width=w, height=h, fx=fx, fy=fy, cx=cx - mw, cy=cy - mh,
     )
+    if "distortion" in cam_c:
+        distortion = tuple(cam_c["distortion"])
+    elif "k1" in cam_c:
+        distortion = tuple(
+            cam_c[k] for k in ("k1", "k2", "p1", "p2", "k3", "k4", "k5", "k6")
+        )
+    else:
+        distortion = None
 
     tr, md, rd, opt = c["trainer"], c["model"], c["render"], c["optimizer"]["args"]
     stride = tr.get("stride", 1)
@@ -125,6 +136,7 @@ def load_scene_config(path: str) -> SceneConfig:
         eps_fine_vis=vis.get("eps_fine_vis", 0.1),
         save_mesh=bool(vis.get("save_mesh", 1)),
         save_pcd=bool(vis.get("save_pcd", 0)),
+        distortion=distortion,
         raw=c,
     )
 

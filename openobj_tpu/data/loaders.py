@@ -36,7 +36,9 @@ try:
 except Exception:  # pragma: no cover
     cv2 = None
 
-from openobj_tpu.data.transforms import enlarge_bbox, scale_depth
+from openobj_tpu.data.transforms import (
+    enlarge_bbox, scale_depth, undistort, undistort_maps,
+)
 
 BACKGROUND_CLS = (1,)  # the association pipeline's wall id (dataset.py:67)
 
@@ -121,7 +123,7 @@ class _SequenceDataset:
     def __init__(self, root_dir: str, start: int = 0, stride: int = 10,
                  depth_scale: float = 1e-3, max_depth: float = 8.0,
                  part_mode: bool = False, part_down: int = 5,
-                 imap_mode: bool = False):
+                 imap_mode: bool = False, camera=None, distortion=None):
         self.root_dir = root_dir
         self.start = start
         self.stride = stride
@@ -130,6 +132,11 @@ class _SequenceDataset:
         self.part_mode = part_mode
         self.part_down = part_down
         self.imap_mode = imap_mode
+        # undistortion (reference image_transforms.py:36-59; maps built
+        # lazily from the first frame's size)
+        self.camera = camera
+        self.distortion = distortion
+        self._undistort_maps = None
         self.t_wc_all = np.loadtxt(
             os.path.join(root_dir, "traj_w_c.txt"), delimiter=" "
         ).reshape(-1, 4, 4)
@@ -162,6 +169,18 @@ class _SequenceDataset:
         rgb = cv2.cvtColor(rgb, cv2.COLOR_BGR2RGB)
         depth_raw = cv2.imread(self._depth_path(idx), -1).astype(np.float32)
         depth_raw = np.nan_to_num(depth_raw, nan=0.0)
+        if self.distortion is not None:
+            if self._undistort_maps is None:
+                h_im, w_im = depth_raw.shape
+                cam = self.camera
+                self._undistort_maps = undistort_maps(
+                    w_im, h_im, cam.fx, cam.fy, cam.cx, cam.cy,
+                    self.distortion,
+                )
+            depth_raw = undistort(depth_raw, self._undistort_maps,
+                                  nearest=True)
+            if rgb.shape[:2] == depth_raw.shape:
+                rgb = undistort(rgb, self._undistort_maps)
         depth = scale_depth(depth_raw, self.depth_scale, self.max_depth)
         if rgb.shape[:2] != depth.shape:
             rgb = cv2.resize(
@@ -265,4 +284,6 @@ def make_dataset(scene_cfg):
         part_mode=scene_cfg.train.part_mode,
         part_down=scene_cfg.train.part_down,
         imap_mode=scene_cfg.imap_mode,
+        camera=scene_cfg.camera,
+        distortion=scene_cfg.distortion,
     )

@@ -141,6 +141,61 @@ class TestReplicaLoader:
         assert s.t_wc.shape == (4, 4)
 
 
+class TestUndistortion:
+    def test_config_parses_both_forms(self, tmp_path):
+        from openobj_tpu.config import load_scene_config
+
+        root = str(tmp_path / "scene")
+        write_replica_dataset(root, n_raw_frames=20)
+        cfg_path = _config_json(root, tmp_path)
+        cfg = json.load(open(cfg_path))
+        # array form (reference cfg.py:52-53)
+        cfg["camera"]["distortion"] = [0.1, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+        json.dump(cfg, open(cfg_path, "w"))
+        sc = load_scene_config(cfg_path)
+        assert sc.distortion == (0.1, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+        # k1..k6/p1/p2 form (reference cfg.py:54-63, order k1 k2 p1 p2 k3..k6)
+        del cfg["camera"]["distortion"]
+        cfg["camera"].update({"k1": 0.2, "k2": 0.1, "k3": 0.0, "k4": 0.0,
+                              "k5": 0.0, "k6": 0.0, "p1": 0.01, "p2": 0.02})
+        json.dump(cfg, open(cfg_path, "w"))
+        sc = load_scene_config(cfg_path)
+        assert sc.distortion == (0.2, 0.1, 0.01, 0.02, 0.0, 0.0, 0.0, 0.0)
+
+    def test_zero_distortion_is_identity(self, tmp_path):
+        from openobj_tpu.config import load_scene_config
+        from openobj_tpu.data.loaders import make_dataset
+
+        root = str(tmp_path / "scene")
+        write_replica_dataset(root, n_raw_frames=20)
+        cfg_path = _config_json(root, tmp_path)
+        cfg = json.load(open(cfg_path))
+        plain = make_dataset(load_scene_config(cfg_path))[0]
+        cfg["camera"]["distortion"] = [0.0] * 8
+        json.dump(cfg, open(cfg_path, "w"))
+        undist = make_dataset(load_scene_config(cfg_path))[0]
+        np.testing.assert_array_equal(plain.depth, undist.depth)
+        np.testing.assert_array_equal(plain.rgb, undist.rgb)
+
+    def test_nonzero_distortion_remaps(self, tmp_path):
+        from openobj_tpu.config import load_scene_config
+        from openobj_tpu.data.loaders import make_dataset
+
+        root = str(tmp_path / "scene")
+        write_replica_dataset(root, n_raw_frames=20)
+        cfg_path = _config_json(root, tmp_path)
+        cfg = json.load(open(cfg_path))
+        plain = make_dataset(load_scene_config(cfg_path))[0]
+        cfg["camera"]["distortion"] = [0.3, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+        json.dump(cfg, open(cfg_path, "w"))
+        undist = make_dataset(load_scene_config(cfg_path))[0]
+        assert undist.depth.shape == plain.depth.shape
+        assert not np.array_equal(plain.depth, undist.depth)
+        # nearest remap: every undistorted depth existed in the source (or 0)
+        src = set(np.unique(plain.depth)) | {0.0}
+        assert set(np.unique(undist.depth)) <= src
+
+
 class TestTrainCLI:
     def test_end_to_end(self, tmp_path):
         from openobj_tpu import train as train_cli
