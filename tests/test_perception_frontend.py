@@ -137,3 +137,43 @@ class TestOnlineTracker:
         depth, mask = self._frame()
         img = tr.ingest([mask], [0], depth, np.eye(4))
         assert (img == 0).all()
+
+
+class TestClassFeatures:
+    """--class-features npz production (reference train.py:109-150)."""
+
+    def test_from_render_config_yaml(self, tmp_path):
+        from openobj_tpu.perception import class_features as CF
+
+        y = tmp_path / "render_config.yaml"
+        y.write_text(
+            "classes:\n- name: wall\n- name: floor\n- name: chair\n"
+        )
+        assert CF.class_names_from_render_config(str(y)) == [
+            "wall", "floor", "chair"
+        ]
+
+    def test_from_scannet_tsv_unique_in_order(self, tmp_path):
+        from openobj_tpu.perception import class_features as CF
+
+        t = tmp_path / "labels.tsv"
+        t.write_text(
+            "id\tnyu40class\n1\twall\n2\tfloor\n3\twall\n4\tchair\n"
+        )
+        assert CF.class_names_from_scannet_tsv(str(t)) == [
+            "wall", "floor", "chair"
+        ]
+
+    def test_cli_end_to_end_and_train_consumes(self, tmp_path):
+        from openobj_tpu.perception import class_features as CF
+        from openobj_tpu.train import load_class_features
+
+        out = str(tmp_path / "cf.npz")
+        CF.main(["--names", "wall, floor ,chair", out])
+        feats = load_class_features(out)
+        assert feats["names"] == ["wall", "floor", "chair"]
+        assert feats["clipfeat"].shape == (3, 512)
+        assert feats["capfeat"].shape == (3, 384)
+        np.testing.assert_allclose(
+            np.linalg.norm(feats["clipfeat"], axis=-1), 1.0, rtol=1e-5
+        )
