@@ -98,6 +98,45 @@ def load_object_checkpoint(path: str, params_template: dict) -> dict:
     return out
 
 
+def _device_state_tree(st) -> dict:
+    """The mapper's device state as one raw pytree (orbax-friendly)."""
+    tree = {
+        "fg_params": st.fg_params,
+        "fg_mu": st.fg_opt.mu,
+        "fg_nu": st.fg_opt.nu,
+        "fg_count": st.fg_opt.count,
+    }
+    if st.bg_params is not None:
+        tree.update(
+            bg_params=st.bg_params, bg_mu=st.bg_opt.mu, bg_nu=st.bg_opt.nu,
+            bg_count=st.bg_opt.count,
+        )
+    return tree
+
+
+def _registry_meta(mapper) -> dict:
+    """Host-side registry/bookkeeping arrays (shared by both snapshot
+    formats)."""
+    r = mapper.registry
+    return {
+        "kf_frames": r.kf_frames,
+        "kf_bbox": r.kf_bbox,
+        "n_kf": r.n_kf,
+        "latest2": r.latest2,
+        "active": r.active,
+        "obj_inst": r.obj_inst,
+        "slot_inst_ids": np.asarray(
+            [r.slots[s].inst_id for s in sorted(r.slots)], np.int64
+        ),
+        "frame_count": np.asarray(mapper.frame_count, np.int64),
+        "bg_seen": np.asarray(int(r.bg_seen), np.int64),
+        "bg_kf_frames": r.bg_kf_frames,
+        "bg_kf_bbox": r.bg_kf_bbox,
+        "bg_latest2": r.bg_latest2,
+        "bg_n_kf": np.asarray(r.bg.n_kf if r.bg else 0, np.int64),
+    }
+
+
 def save_scene(dirpath: str, mapper) -> None:
     """Full resumable snapshot of a SceneMapper's device + host state."""
     os.makedirs(dirpath, exist_ok=True)
@@ -112,22 +151,7 @@ def save_scene(dirpath: str, mapper) -> None:
         data.update(_flatten(st.bg_opt.mu, "bg_mu/"))
         data.update(_flatten(st.bg_opt.nu, "bg_nu/"))
         data["bg_count"] = np.asarray(st.bg_opt.count)
-    r = mapper.registry
-    data["kf_frames"] = r.kf_frames
-    data["kf_bbox"] = r.kf_bbox
-    data["n_kf"] = r.n_kf
-    data["latest2"] = r.latest2
-    data["active"] = r.active
-    data["obj_inst"] = r.obj_inst
-    data["slot_inst_ids"] = np.asarray(
-        [r.slots[s].inst_id for s in sorted(r.slots)], np.int64
-    )
-    data["frame_count"] = np.asarray(mapper.frame_count, np.int64)
-    data["bg_seen"] = np.asarray(int(r.bg_seen), np.int64)
-    data["bg_kf_frames"] = r.bg_kf_frames
-    data["bg_kf_bbox"] = r.bg_kf_bbox
-    data["bg_latest2"] = r.bg_latest2
-    data["bg_n_kf"] = np.asarray(r.bg.n_kf if r.bg else 0, np.int64)
+    data.update(_registry_meta(mapper))
     np.savez_compressed(os.path.join(dirpath, "scene_state.npz"), **data)
 
 
@@ -136,7 +160,6 @@ def load_scene(dirpath: str, mapper) -> None:
     the same config (device state + keyframe tables; per-slot host policy
     counters resume approximately: frame counts restart)."""
     from openobj_tpu.core import optim, trainer
-    from openobj_tpu.core.registry import SlotState
 
     z = np.load(os.path.join(dirpath, "scene_state.npz"))
     n_slots = z["fg_count"].shape[0]
@@ -160,6 +183,11 @@ def load_scene(dirpath: str, mapper) -> None:
             count=jnp.asarray(z["bg_count"]),
         )
     mapper.state = trainer.TrainState(fg_params, fg_opt, bg_params, bg_opt)
+    _restore_registry_meta(mapper, z)
+
+
+def _restore_registry_meta(mapper, z) -> None:
+    from openobj_tpu.core.registry import SlotState
 
     r = mapper.registry
     r.kf_frames[:] = z["kf_frames"]
@@ -187,3 +215,65 @@ def load_scene(dirpath: str, mapper) -> None:
         r.bg.n_kf = int(z["bg_n_kf"])
         r.bg.latest = [int(x) for x in r.bg_latest2]
         r.bg.frame_cnt = mapper.frame_count
+
+
+# --------------------------------------------------------------------------- #
+# orbax sharded snapshots (multi-chip)
+# --------------------------------------------------------------------------- #
+
+
+def save_scene_sharded(dirpath: str, mapper) -> None:
+    """Scene snapshot via orbax: the device state is written WITHOUT a host
+    gather (each shard streams its own slice — correct and efficient when
+    the mapper is sharded over a mesh via parallel.sharding.shard_scene,
+    and multi-host-safe under jax.distributed), host registry metadata as
+    a small npz next to it. Counterpart of save_scene for scale-out runs."""
+    import orbax.checkpoint as ocp
+
+    dirpath = os.path.abspath(dirpath)
+    os.makedirs(dirpath, exist_ok=True)
+    ckptr = ocp.StandardCheckpointer()
+    path = os.path.join(dirpath, "orbax_state")
+    ckptr.save(path, _device_state_tree(mapper.state), force=True)
+    ckptr.wait_until_finished()
+    np.savez_compressed(
+        os.path.join(dirpath, "scene_meta.npz"),
+        n_slots=np.asarray(mapper.state.n_slots, np.int64),
+        **_registry_meta(mapper),
+    )
+
+
+def load_scene_sharded(dirpath: str, mapper) -> None:
+    """Restore a save_scene_sharded snapshot DIRECTLY INTO the mapper's
+    current placement: construct the mapper (and shard_scene it onto a mesh
+    first if desired) — each leaf is restored with the shape/dtype/sharding
+    of the mapper's existing state, so shards land on their owning devices
+    without a host round trip."""
+    import orbax.checkpoint as ocp
+
+    from openobj_tpu.core import optim, trainer
+
+    dirpath = os.path.abspath(dirpath)
+    z = np.load(os.path.join(dirpath, "scene_meta.npz"))
+    n_slots = int(z["n_slots"])
+    if mapper.state.n_slots != n_slots:
+        mapper.state = trainer.grow_train_state(
+            jax.random.PRNGKey(0), mapper.state, mapper.cfg, n_slots
+        )
+    template = _device_state_tree(mapper.state)
+    abstract = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding),
+        template,
+    )
+    ckptr = ocp.StandardCheckpointer()
+    t = ckptr.restore(os.path.join(dirpath, "orbax_state"), abstract)
+    st = mapper.state
+    bg = "bg_params" in t
+    mapper.state = trainer.TrainState(
+        fg_params=t["fg_params"],
+        fg_opt=optim.AdamWState(t["fg_mu"], t["fg_nu"], t["fg_count"]),
+        bg_params=t["bg_params"] if bg else st.bg_params,
+        bg_opt=optim.AdamWState(t["bg_mu"], t["bg_nu"], t["bg_count"])
+        if bg else st.bg_opt,
+    )
+    _restore_registry_meta(mapper, z)
