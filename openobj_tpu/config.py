@@ -48,6 +48,10 @@ class SceneConfig:
     # 8-coefficient distortion [k1, k2, p1, p2, k3, k4, k5, k6] or None
     # (reference cfg.py:52-65)
     distortion: tuple | None = None
+    # crop margins (camera intrinsics are stored margin-cropped; the raw
+    # image undistortion maps need them back)
+    margin_h: int = 0
+    margin_w: int = 0
     raw: dict = field(default_factory=dict)
 
 
@@ -76,8 +80,11 @@ def load_scene_config(path: str) -> SceneConfig:
     if "distortion" in cam_c:
         distortion = tuple(cam_c["distortion"])
     elif "k1" in cam_c:
+        # missing higher-order coefficients default to 0 (4/5/8-length
+        # vectors are all valid OpenCV models)
         distortion = tuple(
-            cam_c[k] for k in ("k1", "k2", "p1", "p2", "k3", "k4", "k5", "k6")
+            cam_c.get(k, 0.0)
+            for k in ("k1", "k2", "p1", "p2", "k3", "k4", "k5", "k6")
         )
     else:
         distortion = None
@@ -137,6 +144,8 @@ def load_scene_config(path: str) -> SceneConfig:
         save_mesh=bool(vis.get("save_mesh", 1)),
         save_pcd=bool(vis.get("save_pcd", 0)),
         distortion=distortion,
+        margin_h=mh,
+        margin_w=mw,
         raw=c,
     )
 

@@ -163,6 +163,12 @@ def load_scene(dirpath: str, mapper) -> None:
 
     z = np.load(os.path.join(dirpath, "scene_state.npz"))
     n_slots = z["fg_count"].shape[0]
+    if mapper.state.n_slots > n_slots:
+        raise ValueError(
+            f"snapshot has {n_slots} object slots but the mapper already "
+            f"has {mapper.state.n_slots}; construct the mapper with "
+            f"initial_bucket <= {n_slots} before restoring"
+        )
     if mapper.state.n_slots != n_slots:
         mapper.state = trainer.grow_train_state(
             jax.random.PRNGKey(0), mapper.state, mapper.cfg, n_slots
@@ -236,11 +242,14 @@ def save_scene_sharded(dirpath: str, mapper) -> None:
     path = os.path.join(dirpath, "orbax_state")
     ckptr.save(path, _device_state_tree(mapper.state), force=True)
     ckptr.wait_until_finished()
-    np.savez_compressed(
-        os.path.join(dirpath, "scene_meta.npz"),
-        n_slots=np.asarray(mapper.state.n_slots, np.int64),
-        **_registry_meta(mapper),
-    )
+    if jax.process_index() == 0:  # one writer for the host metadata
+        np.savez_compressed(
+            os.path.join(dirpath, "scene_meta.npz"),
+            n_slots=np.asarray(mapper.state.n_slots, np.int64),
+            has_bg=np.asarray(int(mapper.state.bg_params is not None),
+                              np.int64),
+            **_registry_meta(mapper),
+        )
 
 
 def load_scene_sharded(dirpath: str, mapper) -> None:
@@ -256,6 +265,19 @@ def load_scene_sharded(dirpath: str, mapper) -> None:
     dirpath = os.path.abspath(dirpath)
     z = np.load(os.path.join(dirpath, "scene_meta.npz"))
     n_slots = int(z["n_slots"])
+    if mapper.state.n_slots > n_slots:
+        raise ValueError(
+            f"snapshot has {n_slots} object slots but the mapper already "
+            f"has {mapper.state.n_slots}; construct the mapper with "
+            f"initial_bucket <= {n_slots} before restoring"
+        )
+    snap_bg = bool(int(z["has_bg"])) if "has_bg" in z else True
+    if snap_bg != (mapper.state.bg_params is not None):
+        raise ValueError(
+            "snapshot and mapper disagree on the background model "
+            f"(snapshot has_bg={snap_bg}); construct the mapper with the "
+            "same do_bg config"
+        )
     if mapper.state.n_slots != n_slots:
         mapper.state = trainer.grow_train_state(
             jax.random.PRNGKey(0), mapper.state, mapper.cfg, n_slots

@@ -123,7 +123,8 @@ class _SequenceDataset:
     def __init__(self, root_dir: str, start: int = 0, stride: int = 10,
                  depth_scale: float = 1e-3, max_depth: float = 8.0,
                  part_mode: bool = False, part_down: int = 5,
-                 imap_mode: bool = False, camera=None, distortion=None):
+                 imap_mode: bool = False, camera=None, distortion=None,
+                 margin_h: int = 0, margin_w: int = 0):
         self.root_dir = root_dir
         self.start = start
         self.stride = stride
@@ -136,6 +137,8 @@ class _SequenceDataset:
         # lazily from the first frame's size)
         self.camera = camera
         self.distortion = distortion
+        self.margin_h = margin_h
+        self.margin_w = margin_w
         self._undistort_maps = None
         self.t_wc_all = np.loadtxt(
             os.path.join(root_dir, "traj_w_c.txt"), delimiter=" "
@@ -169,25 +172,36 @@ class _SequenceDataset:
         rgb = cv2.cvtColor(rgb, cv2.COLOR_BGR2RGB)
         depth_raw = cv2.imread(self._depth_path(idx), -1).astype(np.float32)
         depth_raw = np.nan_to_num(depth_raw, nan=0.0)
+        if rgb.shape[:2] != depth_raw.shape:
+            # bring rgb to depth resolution FIRST so one set of maps (built
+            # for the depth intrinsics) undistorts everything consistently
+            rgb = cv2.resize(
+                rgb, (depth_raw.shape[1], depth_raw.shape[0]),
+                interpolation=cv2.INTER_LINEAR,
+            )
+        inst_raw = cv2.imread(self._inst_path(idx_no), cv2.IMREAD_UNCHANGED)
         if self.distortion is not None:
             if self._undistort_maps is None:
                 h_im, w_im = depth_raw.shape
                 cam = self.camera
+                # the camera's cx/cy are margin-cropped (config.py); the
+                # maps act on the full-size image, so shift back
                 self._undistort_maps = undistort_maps(
-                    w_im, h_im, cam.fx, cam.fy, cam.cx, cam.cy,
+                    w_im, h_im, cam.fx, cam.fy,
+                    cam.cx + self.margin_w, cam.cy + self.margin_h,
                     self.distortion,
                 )
             depth_raw = undistort(depth_raw, self._undistort_maps,
                                   nearest=True)
-            if rgb.shape[:2] == depth_raw.shape:
-                rgb = undistort(rgb, self._undistort_maps)
+            rgb = undistort(rgb, self._undistort_maps)
+            if inst_raw is not None and inst_raw.shape[:2] == depth_raw.shape:
+                # instance ids ride the same lens: remap nearest so ids
+                # never blend (int32 unsupported by cv2.remap -> via f32)
+                inst_raw = undistort(
+                    inst_raw.astype(np.float32), self._undistort_maps,
+                    nearest=True,
+                ).astype(inst_raw.dtype)
         depth = scale_depth(depth_raw, self.depth_scale, self.max_depth)
-        if rgb.shape[:2] != depth.shape:
-            rgb = cv2.resize(
-                rgb, (depth.shape[1], depth.shape[0]),
-                interpolation=cv2.INTER_LINEAR,
-            )
-        inst_raw = cv2.imread(self._inst_path(idx_no), cv2.IMREAD_UNCHANGED)
         inst, bboxes, clip_d, cap_d = process_instance_frame(
             inst_raw,
             self.obj_clipfeat[idx_no], self.obj_capfeat[idx_no],
@@ -286,4 +300,6 @@ def make_dataset(scene_cfg):
         imap_mode=scene_cfg.imap_mode,
         camera=scene_cfg.camera,
         distortion=scene_cfg.distortion,
+        margin_h=scene_cfg.margin_h,
+        margin_w=scene_cfg.margin_w,
     )

@@ -284,8 +284,12 @@ def main(argv=None):
 
     from openobj_tpu.config import load_scene_config, make_mapper
     from openobj_tpu.data.loaders import init_loader, make_dataset
-    from openobj_tpu.utils.profiling import performance_measure, stats
+    from openobj_tpu.utils.profiling import (
+        performance_measure, reset_stats, stats,
+    )
 
+    reset_stats()  # timing.json must cover THIS run only (multi-scene
+    # drivers reuse worker threads, so the thread-local dict persists)
     os.makedirs(args.logdir, exist_ok=True)
     shutil.copy(args.config, args.logdir)
     cfg = load_scene_config(args.config)

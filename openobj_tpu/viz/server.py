@@ -139,17 +139,22 @@ def make_handler(service: QueryService):
                         return
                     part = (q.get("part") or [None])[0] or None
                     topk = q.get("topk")
-                    self._json(service.query(
-                        text, part=part,
-                        topk=int(topk[0]) if topk else None,
-                    ))
+                    try:
+                        topk_i = int(topk[0]) if topk else None
+                    except ValueError:
+                        self._json({"error": f"bad topk {topk[0]!r}"}, 400)
+                        return
+                    try:
+                        out = service.query(text, part=part, topk=topk_i)
+                    except KeyError as e:
+                        # vocab encoders raise KeyError on unknown terms
+                        self._json({"error": f"unknown term {e}"}, 400)
+                        return
+                    self._json(out)
                 elif u.path == "/objects":
                     self._json(service.objects())
                 else:
                     self._json({"error": "not found"}, 404)
-            except KeyError as e:
-                # vocab encoders raise KeyError on unknown terms
-                self._json({"error": f"unknown term {e}"}, 400)
             except Exception as e:  # noqa: BLE001 — report, keep serving
                 self._json({"error": str(e)}, 500)
 

@@ -144,12 +144,20 @@ def make_encoders(kind: str, vocab_path: str | None = None):
 
         return enc(z["clip"]), enc(z["sbert"])
     if kind == "fake":
+        import hashlib
+
         def hashing_encoder(dim):
             def f(texts):
                 out = np.empty((len(texts), dim), np.float32)
                 for i, t in enumerate(texts):
+                    # hashlib, not hash(): stable across processes
+                    # (PYTHONHASHSEED), so fake-encoded artifacts match
+                    # fake-encoded queries from any later process
+                    digest = hashlib.sha256(
+                        f"openobj:{t}".encode()
+                    ).digest()
                     rng = np.random.default_rng(
-                        abs(hash(("openobj", t))) % (2**32)
+                        int.from_bytes(digest[:8], "little")
                     )
                     v = rng.normal(size=dim)
                     out[i] = v / np.linalg.norm(v)

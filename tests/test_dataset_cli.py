@@ -177,6 +177,38 @@ class TestUndistortion:
         np.testing.assert_array_equal(plain.depth, undist.depth)
         np.testing.assert_array_equal(plain.rgb, undist.rgb)
 
+    def test_partial_k_coefficients_default_zero(self, tmp_path):
+        from openobj_tpu.config import load_scene_config
+
+        root = str(tmp_path / "scene")
+        write_replica_dataset(root, n_raw_frames=20)
+        cfg_path = _config_json(root, tmp_path)
+        cfg = json.load(open(cfg_path))
+        # common 5-coefficient OpenCV set: k4/k5/k6 omitted
+        cfg["camera"].update({"k1": 0.2, "k2": 0.1, "k3": 0.0,
+                              "p1": 0.01, "p2": 0.02})
+        json.dump(cfg, open(cfg_path, "w"))
+        sc = load_scene_config(cfg_path)
+        assert sc.distortion == (0.2, 0.1, 0.01, 0.02, 0.0, 0.0, 0.0, 0.0)
+
+    def test_instance_map_rides_the_same_lens(self, tmp_path):
+        """Masks must stay registered with the undistorted depth/rgb: the
+        instance map is remapped (nearest) too, preserving the id set."""
+        from openobj_tpu.config import load_scene_config
+        from openobj_tpu.data.loaders import make_dataset
+
+        root = str(tmp_path / "scene")
+        write_replica_dataset(root, n_raw_frames=20)
+        cfg_path = _config_json(root, tmp_path)
+        cfg = json.load(open(cfg_path))
+        plain = make_dataset(load_scene_config(cfg_path))[0]
+        cfg["camera"]["distortion"] = [0.3, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+        json.dump(cfg, open(cfg_path, "w"))
+        undist = make_dataset(load_scene_config(cfg_path))[0]
+        assert not np.array_equal(plain.inst, undist.inst)
+        # nearest remap: no new ids invented
+        assert set(np.unique(undist.inst)) <= set(np.unique(plain.inst)) | {-1}
+
     def test_nonzero_distortion_remaps(self, tmp_path):
         from openobj_tpu.config import load_scene_config
         from openobj_tpu.data.loaders import make_dataset

@@ -367,6 +367,30 @@ class TestCheckpoint:
         leaf = jax.tree.leaves(m2.state.fg_params)[0]
         assert len(leaf.sharding.device_set) == 4
 
+    def test_restore_into_larger_bucket_rejected(self, tmp_path):
+        """A mapper whose bucket already outgrew the snapshot cannot
+        restore (shrinking buckets is not supported) — clear error, not a
+        negative-shape crash."""
+        from openobj_tpu.core import trainer as T
+        from openobj_tpu.core.scene import Camera, SceneMapper
+        from openobj_tpu.data import synthetic
+
+        cfg = T.TrainConfig(
+            n_iters_per_frame=2, win_size=2, n_samples_per_frame=8,
+            win_size_bg=2, n_samples_per_frame_bg=8,
+            hidden=16, hidden_bg=16, clip_size=4,
+        )
+        cam = Camera(width=32, height=24, fx=20.0, fy=20.0, cx=16.0, cy=12.0)
+        scene = synthetic.default_scene(n_spheres=1)
+        m1 = SceneMapper(cam, cfg, frame_capacity=8, initial_bucket=4)
+        dirs = np.asarray(cam.ray_dirs())
+        for rgb, depth, inst, t_wc in synthetic.make_sequence(scene, dirs, 2):
+            m1.process_frame(rgb, depth, inst, t_wc)
+        checkpoint.save_scene(str(tmp_path), m1)
+        m2 = SceneMapper(cam, cfg, frame_capacity=8, initial_bucket=8)
+        with pytest.raises(ValueError, match="initial_bucket"):
+            checkpoint.load_scene(str(tmp_path), m2)
+
     def test_sharded_snapshot_into_unsharded_mapper(self, tmp_path):
         """The same snapshot restores into a plain single-device mapper."""
         from openobj_tpu.core import trainer as T

@@ -101,6 +101,11 @@ class TestHTTP:
         assert j["query"] == "wooden table"
         assert set(j["colors"]) == {"4", "7"}
 
+    def test_bad_topk_400(self, srv):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            self._get(srv + "/query?text=chair&topk=abc")
+        assert e.value.code == 400
+
     def test_missing_text_400(self, srv):
         with pytest.raises(urllib.error.HTTPError) as e:
             self._get(srv + "/query")

@@ -62,6 +62,32 @@ class TestColors:
         assert gen.name_of(1) == "b"
 
 
+class TestFakeEncoders:
+    def test_cross_process_deterministic(self):
+        """The fake hashing encoders must not depend on PYTHONHASHSEED —
+        artifacts baked in one process must match queries from another."""
+        import subprocess
+        import sys
+
+        code = (
+            "from openobj_tpu.viz.viewer import make_encoders;"
+            "clip, _ = make_encoders('fake');"
+            "print(repr(float(clip(['chair'])[0, 0])))"
+        )
+        outs = set()
+        for seed in ("1", "2"):
+            r = subprocess.run(
+                [sys.executable, "-c", code], capture_output=True, text=True,
+                env={**__import__('os').environ, "PYTHONHASHSEED": seed,
+                     "JAX_PLATFORMS": "cpu"},
+                check=True,
+            )
+            outs.add(r.stdout.strip())
+        assert len(outs) == 1, outs
+        clip, _ = viewer.make_encoders("fake")
+        assert repr(float(clip(["chair"])[0, 0])) in outs
+
+
 class TestViewer:
     def test_bundle_colorings(self, bundle):
         b, _ = bundle
