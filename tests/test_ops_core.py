@@ -35,9 +35,42 @@ class TestEmbedding:
         proj = embedding.ICOSPHERE_DIRS @ t  # [21]
         for k, f in enumerate([1, 2, 4, 8, 16, 32]):
             exp = np.sin(np.pi * f * proj)
+            # default impl is the double-angle recurrence: ~2^F ulp of f32
+            # drift vs the analytic sine (see positional_encoding docstring)
             np.testing.assert_allclose(
-                out[0, 3 + 21 * k : 3 + 21 * (k + 1)], exp, rtol=1e-5, atol=1e-6
+                out[0, 3 + 21 * k : 3 + 21 * (k + 1)], exp, rtol=1e-5,
+                atol=3e-5,
             )
+        # the literal ("direct") formulation matches tightly
+        out_d = embedding.positional_encoding(pe, x, max_deg=5, impl="direct")
+        for k, f in enumerate([1, 2, 4, 8, 16, 32]):
+            exp = np.sin(np.pi * f * proj)
+            np.testing.assert_allclose(
+                out_d[0, 3 + 21 * k : 3 + 21 * (k + 1)], exp, rtol=1e-5,
+                atol=1e-6,
+            )
+
+    def test_recurrence_matches_direct(self):
+        """Default recurrence impl tracks the direct sines (values + grads)
+        over a broad input range."""
+        pe = embedding.init_pe_params(scale=2.0)
+        x = jnp.asarray(
+            np.random.default_rng(3).uniform(-3, 3, (512, 3)), jnp.float32
+        )
+        a = embedding.positional_encoding(pe, x, impl="direct")
+        b = embedding.positional_encoding(pe, x, impl="recurrence")
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
+        g1 = jax.grad(
+            lambda p: embedding.positional_encoding(p, x, impl="direct").sum()
+        )(pe)["dirs"]
+        g2 = jax.grad(
+            lambda p: embedding.positional_encoding(
+                p, x, impl="recurrence"
+            ).sum()
+        )(pe)["dirs"]
+        np.testing.assert_allclose(
+            np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-2
+        )
 
     def test_scale_not_differentiated(self):
         pe = embedding.init_pe_params(scale=2.0)
