@@ -69,7 +69,9 @@ def field_apply(
 ):
     """Evaluate one object's field at world-frame points [..., 3]."""
     emb1, _ = embedding.embedding_split(max_deg)
-    emb = embedding.positional_encoding(params["pe"], points, max_deg=max_deg)
+    emb = embedding.positional_encoding(
+        params["pe"], points, max_deg=max_deg, concat=False
+    )
     return mlp.mlp_apply(
         params["mlp"], emb, emb_size1=emb1,
         do_alpha=do_alpha, do_color=do_color, do_clip=do_clip,

@@ -96,8 +96,8 @@ def init_pe_params(scale: float) -> dict:
 
 def positional_encoding(
     pe_params: dict, x: jnp.ndarray, max_deg: int = 5, min_deg: int = 0,
-    impl: str = "recurrence",
-) -> jnp.ndarray:
+    impl: str = "recurrence", concat: bool = True,
+):
     """Encode points ``x`` [..., 3] -> [..., 3 + 21 * n_freqs].
 
     Band layout is frequency-major / direction-minor to match the reference's
@@ -115,6 +115,11 @@ def positional_encoding(
         (< 4e-6), far inside bf16's resolution that XLA's TPU propagation
         pass demotes the embedding to anyway.
       * "direct": the reference's literal formulation.
+
+    concat=False returns the pieces ``(t, sins)`` unconcatenated —
+    mlp_apply consumes them via row-partitioned matmuls so the [..., 129]
+    tensor is never materialized (measured time-neutral at the room_0
+    envelope; kept for the memory shape, not speed).
     """
     scale = jax.lax.stop_gradient(pe_params["scale"])
     t = x / scale
@@ -136,4 +141,6 @@ def positional_encoding(
         xb = proj[..., None, :] * bands[:, None]  # [..., F, 21]
         xb = xb.reshape(*proj.shape[:-1], -1)  # [..., F*21]
         sins = jnp.sin(xb * jnp.pi)
+    if not concat:
+        return t, sins
     return jnp.concatenate([t, sins], axis=-1)

@@ -91,6 +91,28 @@ def _linear_relu(p: dict, x: jnp.ndarray, cdt=None) -> jnp.ndarray:
     return jax.nn.relu(_linear(p, x, cdt))
 
 
+def _segments_linear_relu(p: dict, segs, cdt=None) -> jnp.ndarray:
+    """relu(concat(segs) @ w + b) WITHOUT materializing the concat:
+    row-partition w and sum the per-segment matmuls. For the skip/head
+    concats this measured ~2x per-layer; for the PE (t, sins) pieces it is
+    time-neutral (the narrow 3-wide matmul costs what the concat did) but
+    avoids materializing the [..., 129] embedding."""
+    w = p["w"]
+    ofs, y = 0, None
+    for s in segs:
+        ws = w[ofs:ofs + s.shape[-1]]
+        ofs += s.shape[-1]
+        if cdt is not None:
+            term = jnp.dot(
+                s.astype(cdt), ws.astype(cdt),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            term = s @ ws
+        y = term if y is None else y + term
+    return jax.nn.relu(y + p["b"])
+
+
 def mlp_apply(
     params: dict,
     emb: jnp.ndarray,
@@ -120,31 +142,29 @@ def mlp_apply(
     hidden first and apply ``clip_project`` once per ray — cutting the
     dominant h->512 matmul by the samples-per-ray factor (10-150x) and never
     materializing the [rays, samples, 512] tensor in HBM.
+
+    ``emb`` may also be the UNCONCATENATED PE pieces ``(t, sins)`` (see
+    positional_encoding(concat=False)) — every layer then consumes the
+    pieces via row-partitioned matmuls, so the [..., 129] embedding tensor
+    is never materialized at all.
     """
-    e1 = emb[..., :emb_size1]
-    e2 = emb[..., emb_size1:]
     cdt = jnp.bfloat16 if compute_dtype == "bf16" else None
+    if isinstance(emb, tuple):
+        t, sins = emb
+        n_raw = t.shape[-1]
+        e1_segs = [t, sins[..., : emb_size1 - n_raw]]
+        e2_segs = [sins[..., emb_size1 - n_raw:]]
+    else:
+        e1_segs = [emb[..., :emb_size1]]
+        e2_segs = [emb[..., emb_size1:]]
 
-    def _split_linear_relu(p, a, b):
-        # x = concat([a, b]) @ w  ==  a @ w[:rows(a)] + b @ w[rows(a):] —
-        # two matmuls instead of materializing the concat; measured ~2x
-        # faster fwd+bwd on TPU at the room_0 shapes (the concat and its
-        # transpose-split dominate these tiny-matmul layers)
-        w = p["w"]
-        if cdt is not None:
-            a, b, w = a.astype(cdt), b.astype(cdt), w.astype(cdt)
-            y = (
-                jnp.dot(a, w[: a.shape[-1]], preferred_element_type=jnp.float32)
-                + jnp.dot(b, w[a.shape[-1]:], preferred_element_type=jnp.float32)
-            )
-        else:
-            y = a @ w[: a.shape[-1]] + b @ w[a.shape[-1]:]
-        return jax.nn.relu(y + p["b"])
-
-    h = _linear_relu(params["in_layer"], e1, cdt)
+    # every concat (skip/head AND the PE pieces) is a row-partitioned matmul
+    # sum — measured ~2x faster fwd+bwd at the room_0 shapes (concats and
+    # their transpose-splits dominate these tiny-matmul layers)
+    h = _segments_linear_relu(params["in_layer"], e1_segs, cdt)
     h = _linear_relu(params["mid1"], h, cdt)
     if do_cat:
-        h = _split_linear_relu(params["cat_layer"], h, e1)
+        h = _segments_linear_relu(params["cat_layer"], [h] + e1_segs, cdt)
     h = _linear_relu(params["mid2"], h, cdt)
 
     alpha = None
@@ -153,12 +173,12 @@ def mlp_apply(
 
     color = None
     if do_color and "out_color" in params:
-        hc = _split_linear_relu(params["color_linear"], h, e2)
+        hc = _segments_linear_relu(params["color_linear"], [h] + e2_segs, cdt)
         color = jax.nn.sigmoid(_linear(params["out_color"], hc, cdt))
 
     clip = None
     if do_clip and "out_clip" in params:
-        hf = _split_linear_relu(params["clip_linear"], h, e2)
+        hf = _segments_linear_relu(params["clip_linear"], [h] + e2_segs, cdt)
         clip = hf if clip_hidden_only else _linear(params["out_clip"], hf, cdt)
 
     return alpha, color, clip

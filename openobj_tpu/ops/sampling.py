@@ -56,11 +56,28 @@ def normal_bins(
     depth: jnp.ndarray,
     n_bins: int,
     delta: float,
+    method: str = "spacings",
 ) -> jnp.ndarray:
     """Sorted N(0, (delta/3)^2) offsets clipped to +-delta around ``depth``
-    (reference utils.py:382-397). depth: [...]; returns [..., n_bins]."""
-    bins = jax.random.normal(key, (*depth.shape, n_bins)) * (delta / 3.0)
-    bins = jnp.sort(bins, axis=-1)
+    (reference utils.py:382-397). depth: [...]; returns [..., n_bins].
+
+    method "spacings" (default) draws the order statistics DIRECTLY: sorted
+    U(0,1) samples are cumsum(E_1..E_n) / sum(E_1..E_{n+1}) with E ~ Exp(1)
+    (the exponential-spacings construction), and pushing sorted uniforms
+    through the monotone normal inverse CDF yields exactly the distribution
+    of sort(normal(n)) — same law as the reference's sample-then-sort, with
+    NO sort (the [.., 9]-wide sort custom-call was ~6% of the room_0
+    per-frame device time). method "sort" keeps the literal formulation.
+    """
+    if method == "sort":
+        bins = jax.random.normal(key, (*depth.shape, n_bins)) * (delta / 3.0)
+        bins = jnp.sort(bins, axis=-1)
+    else:
+        e = jax.random.exponential(key, (*depth.shape, n_bins + 1))
+        csum = jnp.cumsum(e[..., :-1], axis=-1)
+        u = csum / (csum[..., -1:] + e[..., -1:])
+        u = jnp.clip(u, 1e-7, 1.0 - 1e-7)
+        bins = jax.scipy.special.ndtri(u) * (delta / 3.0)
     bins = jnp.clip(bins, -delta, delta)
     return depth[..., None] + bins
 

@@ -229,6 +229,22 @@ class TestSampling:
         # std of centered samples ~ delta/3 (clipped)
         assert abs(float(jnp.std(z - 2.0)) - 0.1 / 3) < 0.01
 
+    def test_normal_bins_spacings_matches_sort_distribution(self, key):
+        """The sort-free spacings sampler draws the SAME law as
+        sample-then-sort: every order statistic's quantiles agree."""
+        depth = jnp.full((60000,), 2.0)
+        z_sort = np.asarray(
+            sampling.normal_bins(key, depth, 9, 0.1, method="sort")
+        )
+        z_sp = np.asarray(
+            sampling.normal_bins(key, depth, 9, 0.1, method="spacings")
+        )
+        qs = np.linspace(0.05, 0.95, 10)
+        for i in range(9):
+            q1 = np.quantile(z_sort[:, i], qs)
+            q2 = np.quantile(z_sp[:, i], qs)
+            np.testing.assert_allclose(q1, q2, atol=2e-3)
+
     def test_ray_box_intersection(self):
         o = jnp.array([[0.0, 0.0, -5.0], [10.0, 10.0, -5.0]])
         d = jnp.array([[0.0, 0.0, 1.0], [0.0, 0.0, 1.0]])
