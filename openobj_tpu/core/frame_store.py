@@ -8,6 +8,15 @@ device arrays; per-object keyframe tables hold only frame indices + 2D
 bboxes, and per-ray object state is derived at gather time from the global
 instance map (state = this(1) / unknown(2) / other(0), train.py:203-205).
 
+Storage layout: depth, instance id, and RGB are PACKED into one
+[F, H, W, 3] float32 array (channel 0 = depth; 1 = the int32 instance id
+bit-cast; 2 = the 3 RGB bytes bit-cast). Training sampling draws random
+pixels, so the per-pixel fetch is a latency-bound random gather — packing
+turns three (four with part features) scattered gathers per pixel into one
+12-byte row fetch (profiled ~22 ms/frame of separate gathers at the room_0
+envelope). ``.depth`` / ``.inst`` / ``.rgb`` decode views on demand (cheap
+slices + bitcasts that XLA fuses into consumers).
+
 Part-level CLIP maps (reference keeps all frames' maps on the GPU,
 train.py:183-188) live here too, stored bf16 at 1/part_down resolution.
 """
@@ -20,23 +29,61 @@ import jax
 import jax.numpy as jnp
 
 
+def pack_pixels(depth: jnp.ndarray, inst: jnp.ndarray, rgb: jnp.ndarray):
+    """(depth f32 [..., H, W], inst i32, rgb u8 [..., 3]) -> packed f32
+    [..., H, W, 3]."""
+    rgb4 = jnp.concatenate(
+        [rgb, jnp.zeros((*rgb.shape[:-1], 1), jnp.uint8)], axis=-1
+    )
+    return jnp.stack(
+        [
+            depth.astype(jnp.float32),
+            jax.lax.bitcast_convert_type(inst.astype(jnp.int32), jnp.float32),
+            jax.lax.bitcast_convert_type(rgb4, jnp.float32),
+        ],
+        axis=-1,
+    )
+
+
+def unpack_depth(packed: jnp.ndarray) -> jnp.ndarray:
+    return packed[..., 0]
+
+
+def unpack_inst(packed: jnp.ndarray) -> jnp.ndarray:
+    return jax.lax.bitcast_convert_type(packed[..., 1], jnp.int32)
+
+
+def unpack_rgb(packed: jnp.ndarray) -> jnp.ndarray:
+    return jax.lax.bitcast_convert_type(packed[..., 2], jnp.uint8)[..., :3]
+
+
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class FrameStore:
-    rgb: jnp.ndarray      # [F, H, W, 3] uint8
-    depth: jnp.ndarray    # [F, H, W] float32 (scaled to meters, >max_depth -> 0)
-    inst: jnp.ndarray     # [F, H, W] int32 global instance ids; -1 = unknown
+    packed: jnp.ndarray   # [F, H, W, 3] float32 (depth | inst bits | rgb bits)
     t_wc: jnp.ndarray     # [F, 4, 4] float32 camera-to-world
     partfeat: jnp.ndarray | None  # [F, H//down, W//down, C] bfloat16, or None
     n_frames: jnp.ndarray  # [] int32 — frames written so far
 
     @property
+    def rgb(self) -> jnp.ndarray:      # [F, H, W, 3] uint8
+        return unpack_rgb(self.packed)
+
+    @property
+    def depth(self) -> jnp.ndarray:    # [F, H, W] float32
+        return unpack_depth(self.packed)
+
+    @property
+    def inst(self) -> jnp.ndarray:     # [F, H, W] int32; -1 = unknown
+        return unpack_inst(self.packed)
+
+    @property
     def capacity(self) -> int:
-        return self.rgb.shape[0]
+        return self.packed.shape[0]
 
     @property
     def frame_shape(self) -> tuple[int, int]:
-        return self.rgb.shape[1], self.rgb.shape[2]
+        return self.packed.shape[1], self.packed.shape[2]
 
 
 def init_frame_store(
@@ -53,9 +100,11 @@ def init_frame_store(
             dtype=jnp.bfloat16,
         )
     return FrameStore(
-        rgb=jnp.zeros((capacity, height, width, 3), dtype=jnp.uint8),
-        depth=jnp.zeros((capacity, height, width), dtype=jnp.float32),
-        inst=jnp.full((capacity, height, width), -1, dtype=jnp.int32),
+        packed=pack_pixels(
+            jnp.zeros((capacity, height, width), jnp.float32),
+            jnp.full((capacity, height, width), -1, jnp.int32),
+            jnp.zeros((capacity, height, width, 3), jnp.uint8),
+        ),
         t_wc=jnp.tile(jnp.eye(4, dtype=jnp.float32), (capacity, 1, 1)),
         partfeat=pf,
         n_frames=jnp.asarray(0, dtype=jnp.int32),
@@ -67,9 +116,9 @@ def _append(store: FrameStore, rgb, depth, inst, t_wc, partfeat) -> FrameStore:
     i = store.n_frames
     new = replace(
         store,
-        rgb=jax.lax.dynamic_update_index_in_dim(store.rgb, rgb, i, 0),
-        depth=jax.lax.dynamic_update_index_in_dim(store.depth, depth, i, 0),
-        inst=jax.lax.dynamic_update_index_in_dim(store.inst, inst, i, 0),
+        packed=jax.lax.dynamic_update_index_in_dim(
+            store.packed, pack_pixels(depth, inst, rgb), i, 0
+        ),
         t_wc=jax.lax.dynamic_update_index_in_dim(store.t_wc, t_wc, i, 0),
         n_frames=i + 1,
     )
