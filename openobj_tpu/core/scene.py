@@ -78,6 +78,7 @@ class SceneMapper:
             frame_capacity, camera.height, camera.width,
             part_feat_dim=cfg.clip_size if cfg.part_mode else 0,
             part_down=cfg.part_down,
+            part_dtype=cfg.part_dtype,
         )
         self.registry = ObjectRegistry(
             max_objects=max_objects,

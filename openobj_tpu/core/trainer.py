@@ -54,6 +54,9 @@ class TrainConfig:
     partfeat_scaling: float = 5.0
     part_mode: bool = False
     part_down: int = 5
+    # part-feature store dtype: "int8" (unit-norm x127 — exact for the
+    # cosine loss, 1/4 the bytes) or "bf16" (see frame_store docstring)
+    part_dtype: str = "int8"
     hidden: int = 32
     hidden_bg: int = 128
     clip_size: int = 512
@@ -255,9 +258,11 @@ def _sample_batch(
             store.partfeat.reshape(-1, store.partfeat.shape[-1]),
             lin_pf.reshape(-1), axis=0,
         )
-        # stays bf16: the [O, R_total, 512] batch is by far the largest
-        # sampled tensor (1.5 GB/frame at the room_0 envelope in f32); the
-        # loss upcasts the tiny per-step slice
+        # stays in the store's compact dtype (int8 unit-norm by default):
+        # the [O, R_total, 512] batch is by far the largest sampled tensor
+        # (1.5 GB/frame at the room_0 envelope in f32); the loss upcasts
+        # the tiny per-step slice, and the cosine normalizes away the
+        # int8 scale (frame_store docstring)
         batch["partfeat"] = pf.reshape(o, R, -1)
     return batch
 

@@ -53,8 +53,25 @@ class TestFrameStore:
             append_frame(s, rgb, depth, inst, np.eye(4))
 
     def test_partfeat_store(self):
+        """Default int8 store keeps unit-DIRECTION exactly (the cosine loss
+        normalizes, so only the direction matters — frame_store docstring)."""
         s = init_frame_store(2, 10, 10, part_feat_dim=16, part_down=5)
         assert s.partfeat.shape == (2, 2, 2, 16)
+        assert s.partfeat.dtype == jnp.int8
+        pf = np.ones((2, 2, 16), np.float32) * 3.0  # scale must not matter
+        s, _ = append_frame(
+            s, np.zeros((10, 10, 3), np.uint8), np.zeros((10, 10), np.float32),
+            np.zeros((10, 10), np.int32), np.eye(4), partfeat=pf,
+        )
+        got = np.asarray(s.partfeat[0], np.float32)
+        got = got / np.linalg.norm(got, axis=-1, keepdims=True)
+        np.testing.assert_allclose(got, 1.0 / 4.0, atol=1e-2)  # unit 16-vec
+
+    def test_partfeat_store_bf16_option(self):
+        s = init_frame_store(
+            2, 10, 10, part_feat_dim=16, part_down=5, part_dtype="bf16"
+        )
+        assert s.partfeat.dtype == jnp.bfloat16
         pf = np.ones((2, 2, 16), np.float32)
         s, _ = append_frame(
             s, np.zeros((10, 10, 3), np.uint8), np.zeros((10, 10), np.float32),
