@@ -9,13 +9,16 @@ bboxes, and per-ray object state is derived at gather time from the global
 instance map (state = this(1) / unknown(2) / other(0), train.py:203-205).
 
 Storage layout: depth, instance id, and RGB are PACKED into one
-[F, H, W, 3] float32 array (channel 0 = depth; 1 = the int32 instance id
+[3, F, H, W] float32 array (plane 0 = depth; 1 = the int32 instance id
 bit-cast; 2 = the 3 RGB bytes bit-cast). Training sampling draws random
 pixels, so the per-pixel fetch is a latency-bound random gather — packing
-turns three (four with part features) scattered gathers per pixel into one
-12-byte row fetch (profiled ~22 ms/frame of separate gathers at the room_0
-envelope). ``.depth`` / ``.inst`` / ``.rgb`` decode views on demand (cheap
-slices + bitcasts that XLA fuses into consumers).
+turns three (four with part features) separately-issued gathers into one
+fused 3-plane fetch (profiled ~22 → ~8 ms/frame at the room_0 envelope).
+The PLANAR [3, ...] axis order matters: it matches the layout XLA picks
+for the gather operand — a [..., 3]-row layout was silently re-laid-out
+to planar INSIDE every train_frame (~9 ms/frame of pure copy).
+``.depth`` / ``.inst`` / ``.rgb`` decode views on demand (cheap slices +
+bitcasts that XLA fuses into consumers).
 
 Part-level CLIP maps (reference keeps all frames' maps on the GPU,
 train.py:183-188) live here too, at 1/part_down resolution. Default
@@ -37,7 +40,7 @@ import jax.numpy as jnp
 
 def pack_pixels(depth: jnp.ndarray, inst: jnp.ndarray, rgb: jnp.ndarray):
     """(depth f32 [..., H, W], inst i32, rgb u8 [..., 3]) -> packed f32
-    [..., H, W, 3]."""
+    [3, ..., H, W] (planar: depth | inst bits | rgb bits)."""
     rgb4 = jnp.concatenate(
         [rgb, jnp.zeros((*rgb.shape[:-1], 1), jnp.uint8)], axis=-1
     )
@@ -47,26 +50,26 @@ def pack_pixels(depth: jnp.ndarray, inst: jnp.ndarray, rgb: jnp.ndarray):
             jax.lax.bitcast_convert_type(inst.astype(jnp.int32), jnp.float32),
             jax.lax.bitcast_convert_type(rgb4, jnp.float32),
         ],
-        axis=-1,
+        axis=0,
     )
 
 
 def unpack_depth(packed: jnp.ndarray) -> jnp.ndarray:
-    return packed[..., 0]
+    return packed[0]
 
 
 def unpack_inst(packed: jnp.ndarray) -> jnp.ndarray:
-    return jax.lax.bitcast_convert_type(packed[..., 1], jnp.int32)
+    return jax.lax.bitcast_convert_type(packed[1], jnp.int32)
 
 
 def unpack_rgb(packed: jnp.ndarray) -> jnp.ndarray:
-    return jax.lax.bitcast_convert_type(packed[..., 2], jnp.uint8)[..., :3]
+    return jax.lax.bitcast_convert_type(packed[2], jnp.uint8)[..., :3]
 
 
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class FrameStore:
-    packed: jnp.ndarray   # [F, H, W, 3] float32 (depth | inst bits | rgb bits)
+    packed: jnp.ndarray   # [3, F, H, W] float32 (depth | inst bits | rgb bits)
     t_wc: jnp.ndarray     # [F, 4, 4] float32 camera-to-world
     partfeat: jnp.ndarray | None  # [F, H//down, W//down, C] bfloat16, or None
     n_frames: jnp.ndarray  # [] int32 — frames written so far
@@ -85,11 +88,11 @@ class FrameStore:
 
     @property
     def capacity(self) -> int:
-        return self.packed.shape[0]
+        return self.packed.shape[1]
 
     @property
     def frame_shape(self) -> tuple[int, int]:
-        return self.packed.shape[1], self.packed.shape[2]
+        return self.packed.shape[2], self.packed.shape[3]
 
 
 def init_frame_store(
@@ -124,7 +127,7 @@ def _append(store: FrameStore, rgb, depth, inst, t_wc, partfeat) -> FrameStore:
     new = replace(
         store,
         packed=jax.lax.dynamic_update_index_in_dim(
-            store.packed, pack_pixels(depth, inst, rgb), i, 0
+            store.packed, pack_pixels(depth, inst, rgb), i, 1
         ),
         t_wc=jax.lax.dynamic_update_index_in_dim(store.t_wc, t_wc, i, 0),
         n_frames=i + 1,

@@ -215,10 +215,10 @@ def _sample_batch(
 
     f = frames[..., None]                           # [O, D, 1]
     lin = ((f * h + u) * w + v).reshape(-1)         # flat pixel ids
-    # ONE 12-byte row gather per pixel (depth | inst bits | rgb bits) —
-    # random pixel fetches are latency-bound, so three separate gathers
-    # cost ~3x this (frame_store docstring)
-    px = jnp.take(store.packed.reshape(-1, 3), lin, axis=0)
+    # ONE fused gather per pixel over the packed planes (depth | inst bits
+    # | rgb bits) — random pixel fetches are latency-bound, so separately
+    # issued gathers cost ~3x this (frame_store docstring)
+    px = jnp.take(store.packed.reshape(3, -1), lin, axis=1)
     rgb = FS.unpack_rgb(px).astype(jnp.float32) / 255.0
     depth = FS.unpack_depth(px).reshape(o, n_draws, n_px)
     inst = FS.unpack_inst(px).reshape(o, n_draws, n_px)
