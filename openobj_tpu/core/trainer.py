@@ -69,6 +69,9 @@ class TrainConfig:
     field_impl: str = "xla"
     # "f32" or "bf16": MLP matmul operand precision (f32 masters + accum).
     compute_dtype: str = "f32"
+    # unroll factor for the optimizer-step scan (amortizes per-iteration
+    # fixed costs across the ~40 small fusions per step; raises compile time)
+    scan_unroll: int = 4
 
     @property
     def n_rays_per_step(self) -> int:
@@ -441,6 +444,7 @@ def train_frame(
         return TrainState(fg_p, fg_o, bg_p, bg_o), loss
 
     state, losses_per_iter = jax.lax.scan(
-        opt_step, state, jnp.arange(cfg.n_iters_per_frame)
+        opt_step, state, jnp.arange(cfg.n_iters_per_frame),
+        unroll=cfg.scan_unroll,
     )
     return state, losses_per_iter
