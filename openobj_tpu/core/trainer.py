@@ -72,6 +72,9 @@ class TrainConfig:
     # unroll factor for the optimizer-step scan (amortizes per-iteration
     # fixed costs across the ~40 small fusions per step; raises compile time)
     scan_unroll: int = 4
+    # "tree" (per-leaf AdamW fusions) or "flat" (one fused update over the
+    # concatenated [O, K] parameter matrix — bit-identical, see optim)
+    optim_impl: str = "tree"
 
     @property
     def n_rays_per_step(self) -> int:
@@ -431,13 +434,15 @@ def train_frame(
             params["bg"] = st.bg_params
         loss, grads = jax.value_and_grad(loss_fn)(params)
 
-        fg_p, fg_o = optim.adamw_update(
+        upd = (optim.adamw_update_flat if cfg.optim_impl == "flat"
+               else optim.adamw_update)
+        fg_p, fg_o = upd(
             st.fg_params, grads["fg"], st.fg_opt,
             lr=cfg.learning_rate, weight_decay=cfg.weight_decay, active=active,
         )
         bg_p, bg_o = st.bg_params, st.bg_opt
         if bg_sl is not None:
-            bg_p, bg_o = optim.adamw_update(
+            bg_p, bg_o = upd(
                 st.bg_params, grads["bg"], st.bg_opt,
                 lr=cfg.learning_rate, weight_decay=cfg.weight_decay,
             )

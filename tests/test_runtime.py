@@ -223,6 +223,70 @@ class TestSceneMapperEndToEnd:
         assert len(shapes) == 1  # 3 objects fit the initial bucket of 4
 
 
+class TestFlatAdamW:
+    def test_flat_bit_equals_tree(self, key):
+        """adamw_update_flat (one fused [O, K] update) is bit-identical to
+        the per-leaf impl, stacked and unstacked, with active gating and
+        the non-trainable PE scale leaf untouched."""
+        import jax.numpy as jnp
+        from openobj_tpu.models import object_field
+
+        p = object_field.init_stacked_fields(key, 8, hidden=16, clip_size=32)
+        g = jax.tree.map(
+            lambda x: jax.random.normal(
+                jax.random.fold_in(key, 1), x.shape) * 0.01, p)
+        st = optim.AdamWState(
+            mu=jax.tree.map(lambda x: jax.random.normal(
+                jax.random.fold_in(key, 2), x.shape) * 1e-3, p),
+            nu=jax.tree.map(lambda x: jnp.abs(jax.random.normal(
+                jax.random.fold_in(key, 3), x.shape)) * 1e-3, p),
+            count=jnp.arange(8, dtype=jnp.int32),
+        )
+        active = jnp.asarray([1, 1, 0, 1, 0, 1, 1, 0], bool)
+        p1, s1 = optim.adamw_update(
+            p, g, st, lr=1e-3, weight_decay=0.013, active=active)
+        p2, s2 = optim.adamw_update_flat(
+            p, g, st, lr=1e-3, weight_decay=0.013, active=active)
+        for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(
+            jax.tree.leaves(s1.mu) + jax.tree.leaves(s1.nu),
+            jax.tree.leaves(s2.mu) + jax.tree.leaves(s2.nu),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # PE scale stayed put
+        np.testing.assert_array_equal(
+            np.asarray(p2["pe"]["scale"]), np.asarray(p["pe"]["scale"]))
+        # unstacked (bg) form
+        pb = object_field.init_field_params(
+            jax.random.PRNGKey(5), hidden=16, clip_size=32)
+        gb = jax.tree.map(
+            lambda x: jax.random.normal(
+                jax.random.fold_in(key, 7), x.shape) * 0.01, pb)
+        sb = optim.init_adamw_state(pb, n_slots=None)
+        b1, _ = optim.adamw_update(pb, gb, sb, lr=1e-3, weight_decay=0.013)
+        b2, _ = optim.adamw_update_flat(
+            pb, gb, sb, lr=1e-3, weight_decay=0.013)
+        for a, b in zip(jax.tree.leaves(b1), jax.tree.leaves(b2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_trainer_accepts_flat_impl(self):
+        """A SceneMapper configured with optim_impl='flat' trains finitely."""
+        cam = Camera(width=32, height=24, fx=20.0, fy=20.0, cx=16.0, cy=12.0)
+        cfg = _tiny_cfg()
+        from dataclasses import replace as _replace
+        cfg = _replace(cfg, optim_impl="flat")
+        scene = synthetic.default_scene(n_spheres=2)
+        mapper = SceneMapper(cam, cfg, frame_capacity=8, initial_bucket=4)
+        dirs = np.asarray(cam.ray_dirs())
+        for rgb, depth, inst, t_wc in synthetic.make_sequence(
+            scene, dirs, n_frames=3
+        ):
+            losses = mapper.process_frame(rgb, depth, inst, t_wc)
+        mapper.finish()
+        assert np.isfinite(np.asarray(losses)).all()
+
+
 class TestAdamWParity:
     def test_against_torch_adamw(self, key):
         """Our AdamW must match torch.optim.AdamW step-for-step (the
