@@ -234,8 +234,10 @@ def render_dataset(mapper, dataset, log_dir: str, mapping_class: dict,
 
 def export_meshes(mapper, log_dir: str, grid_dim: int, live_voxel_size: float,
                   save_mesh: bool = True, save_pcd: bool = False):
-    """Meshing + OBJ/PLY export per object (train.py:617-652)."""
+    """Meshing + OBJ export per object; with save_pcd also the occ > 0.5
+    grid-point cloud as a PLY (reference train.py:617-652, trainer.py:70-79)."""
     from openobj_tpu.core import meshing
+    from openobj_tpu.utils.geometry import TriangleMesh
 
     mesh_dir = os.path.join(log_dir, "scene_mesh")
     os.makedirs(mesh_dir, exist_ok=True)
@@ -245,15 +247,26 @@ def export_meshes(mapper, log_dir: str, grid_dim: int, live_voxel_size: float,
         if st.bbox3d is None:
             continue
         dim = meshing.adaptive_grid_dim(st.bbox3d, live_voxel_size, grid_dim)
+        params = mapper.slot_params(slot)
         mesh = meshing.mesh_object(
-            mapper.slot_params(slot), st.bbox3d, st.obj_center,
-            grid_dim=dim, with_color=True,
+            params, st.bbox3d, st.obj_center, grid_dim=dim, with_color=True,
         )
         if mesh is None:
             print(f"meshing failed obj {inst_id}")
             continue
         if save_mesh:
             mesh.export_obj(os.path.join(mesh_dir, f"obj{inst_id}.obj"))
+        if save_pcd:
+            pc = meshing.object_point_cloud(
+                params, st.bbox3d, st.obj_center, grid_dim=dim,
+            )
+            if pc is not None:
+                pts, cols = pc
+                TriangleMesh(
+                    vertices=pts.astype(np.float32),
+                    faces=np.zeros((0, 3), np.int32),
+                    vertex_colors=(np.clip(cols, 0, 1) * 255).astype(np.uint8),
+                ).export_ply(os.path.join(mesh_dir, f"obj{inst_id}_pcd.ply"))
         n += 1
     return n
 

@@ -502,3 +502,45 @@ class TestScanNetLoader:
         sc = load_scene_config(str(cfg_path))
         assert sc.camera.fx == 42.0 and sc.camera.fy == 43.0
         assert sc.camera.cx == 31.5 and sc.camera.cy == 23.5
+
+
+class TestSavePcd:
+    def test_export_meshes_writes_point_cloud(self, tmp_path):
+        """save_pcd: occ > 0.5 grid points + colors as PLY per object
+        (reference trainer.py:70-79)."""
+        from openobj_tpu import train as cli
+        from openobj_tpu.core import trainer as T
+        from openobj_tpu.core.scene import Camera, SceneMapper
+        from openobj_tpu.data import synthetic
+        from openobj_tpu.utils import geometry
+
+        cam = Camera(width=48, height=36, fx=30.0, fy=30.0, cx=24.0, cy=18.0)
+        cfg = T.TrainConfig(
+            n_iters_per_frame=10, win_size=2, n_samples_per_frame=16,
+            win_size_bg=2, n_samples_per_frame_bg=16,
+            hidden=16, hidden_bg=16, clip_size=4,
+        )
+        scene = synthetic.default_scene(n_spheres=1)
+        m = SceneMapper(cam, cfg, frame_capacity=8, initial_bucket=4)
+        dirs = np.asarray(cam.ray_dirs())
+        for rgb, depth, inst, t_wc in synthetic.make_sequence(scene, dirs, 4):
+            m.process_frame(rgb, depth, inst, t_wc)
+        m.finish()
+        for inst_id, slot in m.registry.inst_to_slot.items():
+            st = m.registry.slots[slot]
+            kfs = m.registry.kf_frames[slot][: st.n_kf]
+            st.bbox3d = geometry.object_bound_from_keyframes(
+                np.asarray(m.store.depth[kfs]),
+                np.asarray(m.store.inst[kfs]) == inst_id,
+                np.asarray(m.store.t_wc[kfs]),
+                cam.fx, cam.fy, cam.cx, cam.cy,
+            )
+        n = cli.export_meshes(
+            m, str(tmp_path), grid_dim=32, live_voxel_size=0.02,
+            save_mesh=False, save_pcd=True,
+        )
+        assert n >= 1
+        plys = [f for f in os.listdir(tmp_path / "scene_mesh")
+                if f.endswith("_pcd.ply")]
+        assert plys
+        assert os.path.getsize(tmp_path / "scene_mesh" / plys[0]) > 200
