@@ -1,11 +1,13 @@
-"""Interactive map viewer: self-contained HTML (three.js) + CLI.
+"""Interactive map viewer: truly self-contained HTML (WebGL2) + CLI.
 
 The reference serves its map through an Open3D ``VisualizerWithKeyCallback``
 window (/root/reference/visualization/vis_interaction.py) with key-driven
 modes. Open3D is a desktop GL dependency that makes no sense for a TPU pod
 workflow, so this framework renders the same interactions into a single
-self-contained HTML file (three.js; rotate/zoom in any browser) plus a
-headless CLI:
+self-contained HTML file plus a headless CLI. The HTML embeds its own
+minimal WebGL2 renderer (flat shading via fragment derivatives, orbit/pan/
+zoom controls) — NO external scripts or CDNs, so it works offline and in
+air-gapped environments:
 
   reference key -> this viewer
     R  vertex RGB                -> mode button / key R
@@ -180,105 +182,224 @@ def _b64(a: np.ndarray) -> str:
 _HTML = """<!DOCTYPE html>
 <html><head><meta charset="utf-8"><title>{title}</title>
 <style>
- body {{ margin:0; background:#101014; color:#ddd; font:13px sans-serif; }}
+ body {{ margin:0; background:#101014; color:#ddd; font:13px sans-serif;
+        overflow:hidden; }}
  #hud {{ position:fixed; top:8px; left:8px; background:#000a; padding:8px 10px;
         border-radius:6px; max-width:330px; }}
  #hud b {{ color:#8cf; }}
- select {{ background:#222; color:#ddd; border:1px solid #555; }}
+ select, input, button {{ background:#222; color:#ddd; border:1px solid #555; }}
+ canvas {{ display:block; }}
 </style></head><body>
 <div id="hud">
  <div><b>{title}</b></div>
  <div>mode: <select id="mode"></select></div>
  <div>[R]gb [I]nstance [S]emantic part-pca[O] [C]eiling [A]bboxes [H]ide-misses
-      [V]save view [B]restore</div>
+      [V]save view [B]restore &middot; drag orbit / shift-drag pan / wheel zoom</div>
  <div id="info"></div>{live_block}
 </div>
-<script type="importmap">{{"imports":{{
- "three":"https://unpkg.com/three@0.160.0/build/three.module.js",
- "three/addons/":"https://unpkg.com/three@0.160.0/examples/jsm/"
-}}}}</script>
-<script type="module">
-import * as THREE from 'three';
-import {{ OrbitControls }} from 'three/addons/controls/OrbitControls.js';
+<script>
+"use strict";
+const CEILING_HEIGHT = {ceiling_height};
+const HIDE_THRESH = {hide_thresh};
 const DATA = {data_json};
+{main_js}{live_js}
+</script></body></html>
+"""
+
+# Self-contained WebGL2 renderer — NO external scripts (works offline /
+# air-gapped; the previous three.js CDN import map did not). Flat shading
+# via fragment derivatives, so no normals are stored. Inserted into _HTML
+# as a plain value: raw JS braces are safe here.
+_MAIN_JS = r"""
 const b64f32 = s => new Float32Array(Uint8Array.from(atob(s), c=>c.charCodeAt(0)).buffer);
 const b64u32 = s => new Uint32Array(Uint8Array.from(atob(s), c=>c.charCodeAt(0)).buffer);
 const b64u8  = s => Uint8Array.from(atob(s), c=>c.charCodeAt(0));
 
-const scene = new THREE.Scene();
-scene.background = new THREE.Color(0x101014);
-const cam = new THREE.PerspectiveCamera(60, innerWidth/innerHeight, 0.01, 1000);
-const renderer = new THREE.WebGLRenderer({{antialias:true}});
-renderer.setSize(innerWidth, innerHeight);
-document.body.appendChild(renderer.domElement);
-const ctl = new OrbitControls(cam, renderer.domElement);
-scene.add(new THREE.AmbientLight(0xffffff, 0.7));
-const dl = new THREE.DirectionalLight(0xffffff, 1.2); dl.position.set(1,2,1.5);
-scene.add(dl);
+const canvas = document.createElement('canvas');
+document.body.appendChild(canvas);
+const gl = canvas.getContext('webgl2', {antialias:true});
+if (!gl) document.getElementById('info').textContent = 'WebGL2 unavailable';
 
-const meshes = {{}}, boxes = [];
-const bb = new THREE.Box3();
-for (const [oid, o] of Object.entries(DATA.objects)) {{
-  const g = new THREE.BufferGeometry();
-  g.setAttribute('position', new THREE.BufferAttribute(b64f32(o.v), 3));
-  g.setIndex(new THREE.BufferAttribute(b64u32(o.f), 1));
-  g.computeVertexNormals();
-  const m = new THREE.Mesh(g, new THREE.MeshLambertMaterial({{vertexColors:true}}));
-  m.userData = {{oid:oid, maxY:o.maxY, score:o.score}};
-  scene.add(m); meshes[oid] = m;
-  bb.expandByObject(m);
-  const bh = new THREE.Box3Helper(new THREE.Box3().setFromObject(m), 0x44ff88);
-  bh.visible = false; scene.add(bh); boxes.push(bh);
-}}
-const ctr = bb.getCenter(new THREE.Vector3());
-cam.position.set(ctr.x, ctr.y + 2.0, ctr.z + bb.getSize(new THREE.Vector3()).length()*0.7);
-ctl.target.copy(ctr);
+function sh(type, src) {
+  const s = gl.createShader(type); gl.shaderSource(s, src); gl.compileShader(s);
+  if (!gl.getShaderParameter(s, gl.COMPILE_STATUS))
+    throw new Error(gl.getShaderInfoLog(s));
+  return s;
+}
+const VS = `#version 300 es
+layout(location=0) in vec3 pos; layout(location=1) in vec3 col;
+uniform mat4 mvp; out vec3 vCol; out vec3 vPos;
+void main(){ vCol = col; vPos = pos; gl_Position = mvp * vec4(pos, 1.0); }`;
+const FS = `#version 300 es
+precision highp float; in vec3 vCol; in vec3 vPos; out vec4 frag;
+uniform float flatMode;
+void main(){
+  vec3 n = normalize(cross(dFdx(vPos), dFdy(vPos)));
+  float l = flatMode > 0.5 ? 1.0 : (0.55 + 0.45 * abs(n.y) * 0.5 + 0.35 * abs(dot(n, normalize(vec3(0.5,0.8,0.6)))));
+  frag = vec4(vCol * min(l, 1.15), 1.0);
+}`;
+const prog = gl.createProgram();
+gl.attachShader(prog, sh(gl.VERTEX_SHADER, VS));
+gl.attachShader(prog, sh(gl.FRAGMENT_SHADER, FS));
+gl.linkProgram(prog);
+if (!gl.getProgramParameter(prog, gl.LINK_STATUS))
+  throw new Error(gl.getProgramInfoLog(prog));
+const uMvp = gl.getUniformLocation(prog, 'mvp');
+const uFlat = gl.getUniformLocation(prog, 'flatMode');
 
-function setMode(name) {{
+// ---- tiny mat4 helpers (column-major) ----
+function perspective(fovy, aspect, near, far){
+  const f = 1/Math.tan(fovy/2), nf = 1/(near-far);
+  return [f/aspect,0,0,0, 0,f,0,0, 0,0,(far+near)*nf,-1, 0,0,2*far*near*nf,0];
+}
+function lookAt(eye, c, up){
+  let zx=eye[0]-c[0], zy=eye[1]-c[1], zz=eye[2]-c[2];
+  let zl=Math.hypot(zx,zy,zz); zx/=zl; zy/=zl; zz/=zl;
+  let xx=up[1]*zz-up[2]*zy, xy=up[2]*zx-up[0]*zz, xz=up[0]*zy-up[1]*zx;
+  let xl=Math.hypot(xx,xy,xz)||1; xx/=xl; xy/=xl; xz/=xl;
+  const yx=zy*xz-zz*xy, yy=zz*xx-zx*xz, yz=zx*xy-zy*xx;
+  return [xx,yx,zx,0, xy,yy,zy,0, xz,yz,zz,0,
+          -(xx*eye[0]+xy*eye[1]+xz*eye[2]),
+          -(yx*eye[0]+yy*eye[1]+yz*eye[2]),
+          -(zx*eye[0]+zy*eye[1]+zz*eye[2]), 1];
+}
+function mul(a, b){
+  const o = new Array(16);
+  for (let c=0;c<4;c++) for (let r=0;r<4;r++){
+    o[c*4+r]=0;
+    for (let k=0;k<4;k++) o[c*4+r]+=a[k*4+r]*b[c*4+k];
+  }
+  return o;
+}
+
+// ---- build per-object buffers ----
+const meshes = {};
+let lo=[1e9,1e9,1e9], hi=[-1e9,-1e9,-1e9];
+for (const [oid, o] of Object.entries(DATA.objects)) {
+  const v = b64f32(o.v), f = b64u32(o.f);
+  for (let i=0;i<v.length;i+=3){
+    for (let a=0;a<3;a++){
+      if (v[i+a]<lo[a]) lo[a]=v[i+a];
+      if (v[i+a]>hi[a]) hi[a]=v[i+a];
+    }
+  }
+  const vao = gl.createVertexArray(); gl.bindVertexArray(vao);
+  const vb = gl.createBuffer(); gl.bindBuffer(gl.ARRAY_BUFFER, vb);
+  gl.bufferData(gl.ARRAY_BUFFER, v, gl.STATIC_DRAW);
+  gl.enableVertexAttribArray(0); gl.vertexAttribPointer(0,3,gl.FLOAT,false,0,0);
+  const cb = gl.createBuffer(); gl.bindBuffer(gl.ARRAY_BUFFER, cb);
+  gl.bufferData(gl.ARRAY_BUFFER, v.length*4, gl.DYNAMIC_DRAW);
+  gl.enableVertexAttribArray(1); gl.vertexAttribPointer(1,3,gl.FLOAT,false,0,0);
+  const ib = gl.createBuffer(); gl.bindBuffer(gl.ELEMENT_ARRAY_BUFFER, ib);
+  gl.bufferData(gl.ELEMENT_ARRAY_BUFFER, f, gl.STATIC_DRAW);
+  // per-object AABB wireframe
+  let l=[1e9,1e9,1e9], h=[-1e9,-1e9,-1e9];
+  for (let i=0;i<v.length;i+=3) for (let a=0;a<3;a++){
+    if (v[i+a]<l[a]) l[a]=v[i+a];
+    if (v[i+a]>h[a]) h[a]=v[i+a];
+  }
+  const cs=[], E=[[0,1],[1,3],[3,2],[2,0],[4,5],[5,7],[7,6],[6,4],[0,4],[1,5],[2,6],[3,7]];
+  const corner = k => [k&1?h[0]:l[0], k&2?h[1]:l[1], k&4?h[2]:l[2]];
+  for (const [a,b] of E){ cs.push(...corner(a), ...corner(b)); }
+  const bvao = gl.createVertexArray(); gl.bindVertexArray(bvao);
+  const bvb = gl.createBuffer(); gl.bindBuffer(gl.ARRAY_BUFFER, bvb);
+  gl.bufferData(gl.ARRAY_BUFFER, new Float32Array(cs), gl.STATIC_DRAW);
+  gl.enableVertexAttribArray(0); gl.vertexAttribPointer(0,3,gl.FLOAT,false,0,0);
+  const bcb = gl.createBuffer(); gl.bindBuffer(gl.ARRAY_BUFFER, bcb);
+  const bcol = new Float32Array(72); for (let i=0;i<24;i++){ bcol[i*3]=0.27; bcol[i*3+1]=1.0; bcol[i*3+2]=0.53; }
+  gl.bufferData(gl.ARRAY_BUFFER, bcol, gl.STATIC_DRAW);
+  gl.enableVertexAttribArray(1); gl.vertexAttribPointer(1,3,gl.FLOAT,false,0,0);
+  meshes[oid] = { vao, cb, n: f.length, bvao, visible: true,
+                  userData: { oid, maxY: o.maxY, score: o.score } };
+}
+gl.bindVertexArray(null);
+const ctr = [(lo[0]+hi[0])/2, (lo[1]+hi[1])/2, (lo[2]+hi[2])/2];
+const diag = Math.hypot(hi[0]-lo[0], hi[1]-lo[1], hi[2]-lo[2]) || 1;
+
+// ---- coloring modes ----
+function setMode(name) {
   const mode = DATA.colorings[name]; if (!mode) return;
-  for (const [oid, m] of Object.entries(meshes)) {{
+  for (const [oid, m] of Object.entries(meshes)) {
     const c = b64u8(mode[oid]);
     const f = new Float32Array(c.length);
     for (let i=0;i<c.length;i++) f[i]=c[i]/255;
-    m.geometry.setAttribute('color', new THREE.BufferAttribute(f, 3));
-  }}
+    gl.bindBuffer(gl.ARRAY_BUFFER, m.cb);
+    gl.bufferData(gl.ARRAY_BUFFER, f, gl.DYNAMIC_DRAW);
+  }
   document.getElementById('mode').value = name;
   document.getElementById('info').textContent = 'mode: ' + name;
-}}
+}
 const sel = document.getElementById('mode');
-for (const name of Object.keys(DATA.colorings)) {{
+for (const name of Object.keys(DATA.colorings)) {
   const o = document.createElement('option'); o.value = o.textContent = name;
   sel.appendChild(o);
-}}
+}
 sel.onchange = e => setMode(e.target.value);
-let ceilingHidden = false, hideMisses = false;
-addEventListener('keydown', e => {{
+
+// ---- camera / controls ----
+let yaw = 0.6, pitch = 0.5, radius = diag * 1.2, target = ctr.slice();
+let showBoxes = false, ceilingHidden = false, hideMisses = false;
+let dragging = 0, px = 0, py = 0;
+canvas.addEventListener('mousedown', e => { dragging = e.shiftKey || e.button===2 ? 2 : 1; px=e.clientX; py=e.clientY; });
+addEventListener('mouseup', () => dragging = 0);
+addEventListener('mousemove', e => {
+  if (!dragging) return;
+  const dx = e.clientX-px, dy = e.clientY-py; px=e.clientX; py=e.clientY;
+  if (dragging===1){ yaw -= dx*0.005; pitch = Math.min(1.5, Math.max(-1.5, pitch + dy*0.005)); }
+  else {
+    const s = radius*0.0015;
+    const cy=Math.cos(yaw), sy=Math.sin(yaw);
+    target[0] -= (cy*dx)*s; target[2] -= (-sy*dx)*s; target[1] += dy*s;
+  }
+});
+canvas.addEventListener('wheel', e => { radius *= Math.exp(e.deltaY*0.001); e.preventDefault(); }, {passive:false});
+canvas.addEventListener('contextmenu', e => e.preventDefault());
+
+addEventListener('keydown', e => {
   const k = e.key.toLowerCase();
   if (k==='r') setMode('rgb');
   if (k==='i') setMode('instance');
   if (k==='s') setMode('class');
   if (k==='o') setMode('partpca');
-  if (k==='a') boxes.forEach(b => b.visible = !b.visible);
-  if (k==='c') {{ ceilingHidden = !ceilingHidden;
+  if (k==='a') showBoxes = !showBoxes;
+  if (k==='c') { ceilingHidden = !ceilingHidden;
     for (const m of Object.values(meshes))
-      if (m.userData.maxY > {ceiling_height}) m.visible = !ceilingHidden; }}
-  if (k==='h') {{ hideMisses = !hideMisses;
+      if (m.userData.maxY > CEILING_HEIGHT) m.visible = !ceilingHidden; }
+  if (k==='h') { hideMisses = !hideMisses;
     for (const m of Object.values(meshes))
-      if (m.userData.score !== null && m.userData.score < {hide_thresh})
-        m.visible = !hideMisses; }}
-  if (k==='v') localStorage.setItem('oo_view', JSON.stringify(
-      {{p:cam.position.toArray(), t:ctl.target.toArray()}}));
-  if (k==='b') {{ const s = JSON.parse(localStorage.getItem('oo_view')||'null');
-    if (s) {{ cam.position.fromArray(s.p); ctl.target.fromArray(s.t); }} }}
-}});
-setMode(DATA.initial);{live_js}
-addEventListener('resize', () => {{
-  cam.aspect = innerWidth/innerHeight; cam.updateProjectionMatrix();
-  renderer.setSize(innerWidth, innerHeight);
-}});
-renderer.setAnimationLoop(() => {{ ctl.update(); renderer.render(scene, cam); }});
-</script></body></html>
+      if (m.userData.score !== null && m.userData.score !== undefined &&
+          m.userData.score < HIDE_THRESH) m.visible = !hideMisses; }
+  if (k==='v') localStorage.setItem('oo_view', JSON.stringify({yaw, pitch, radius, target}));
+  if (k==='b') { const s = JSON.parse(localStorage.getItem('oo_view')||'null');
+    if (s) { yaw=s.yaw; pitch=s.pitch; radius=s.radius; target=s.target; } }
+});
+
+// ---- render loop ----
+gl.enable(gl.DEPTH_TEST);
+function draw(){
+  const w = innerWidth, h = innerHeight;
+  if (canvas.width !== w || canvas.height !== h){ canvas.width=w; canvas.height=h; gl.viewport(0,0,w,h); }
+  gl.clearColor(0.063,0.063,0.078,1); gl.clear(gl.COLOR_BUFFER_BIT|gl.DEPTH_BUFFER_BIT);
+  const eye = [
+    target[0] + radius*Math.cos(pitch)*Math.sin(yaw),
+    target[1] + radius*Math.sin(pitch),
+    target[2] + radius*Math.cos(pitch)*Math.cos(yaw)];
+  const mvp = mul(perspective(1.05, w/h, 0.01*diag, 100*diag), lookAt(eye, target, [0,1,0]));
+  gl.useProgram(prog);
+  gl.uniformMatrix4fv(uMvp, false, new Float32Array(mvp));
+  for (const m of Object.values(meshes)) {
+    if (!m.visible) continue;
+    gl.uniform1f(uFlat, 0.0);
+    gl.bindVertexArray(m.vao);
+    gl.drawElements(gl.TRIANGLES, m.n, gl.UNSIGNED_INT, 0);
+    if (showBoxes){ gl.uniform1f(uFlat, 1.0); gl.bindVertexArray(m.bvao); gl.drawArrays(gl.LINES, 0, 24); }
+  }
+  requestAnimationFrame(draw);
+}
+setMode(DATA.initial);
+requestAnimationFrame(draw);
 """
+
 
 
 # substituted into _HTML's {live_js} field (plain value — not re-formatted,
@@ -368,7 +489,7 @@ def build_html(
     html = _HTML.format(
         title=title, data_json=json.dumps(data),
         ceiling_height=ceiling_height, hide_thresh=hide_thresh,
-        live_block=live_block, live_js=live_js,
+        live_block=live_block, live_js=live_js, main_js=_MAIN_JS,
     )
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
     with open(out_path, "w") as f:

@@ -105,7 +105,9 @@ class TestViewer:
         out = str(tmp_path / "viewer.html")
         viewer.build_html(b, out, scores={4: 0.9, 7: 0.2})
         html = open(out).read()
-        assert "three" in html and "OrbitControls" in html
+        # truly self-contained: embedded WebGL2 renderer, no external scripts
+        assert "webgl2" in html and "createShader" in html.replace(" ", "")
+        assert "http" not in html.split("</title>")[1]  # no CDN/script URLs
         assert "rgb" in html and "partpca" in html
         assert os.path.getsize(out) > 1000
 
