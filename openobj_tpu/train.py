@@ -283,6 +283,12 @@ def main(argv=None):
     parser.add_argument("--ckpt-every", type=int, default=None,
                         help="also checkpoint every N frames (the reference's "
                              "n_vis_iter cadence; default: end of run only)")
+    parser.add_argument("--prng", default="threefry",
+                        choices=("threefry", "rbg"),
+                        help="JAX PRNG impl; rbg avoids the threefry "
+                             "while-loop (~2-4%% at the room_0 envelope) at "
+                             "the cost of a different (still high-quality) "
+                             "random stream")
     parser.add_argument("--render-two-pass", action="store_true",
                         help="empty-space-skipping render (probe pass + "
                              "tightened refine pass; ~1.6x faster at the "
@@ -303,6 +309,10 @@ def main(argv=None):
 
     reset_stats()  # timing.json must cover THIS run only (multi-scene
     # drivers reuse worker threads, so the thread-local dict persists)
+    if args.prng != "threefry":
+        import jax
+
+        jax.config.update("jax_default_prng_impl", args.prng)
     os.makedirs(args.logdir, exist_ok=True)
     shutil.copy(args.config, args.logdir)
     cfg = load_scene_config(args.config)
