@@ -23,6 +23,18 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Free compiled executables between test modules. A full-suite run
+    accumulates hundreds of CPU-backend programs; past ~180 the XLA CPU
+    compiler segfaulted reproducibly (backend_compile_and_load) — clearing
+    per module keeps the live-executable population bounded. No subset of
+    the suite reproduces the crash, so this is a mitigation for the
+    long-lived-process case, not a code bug workaround."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
