@@ -48,6 +48,11 @@ class SceneConfig:
     # 8-coefficient distortion [k1, k2, p1, p2, k3, k4, k5, k6] or None
     # (reference cfg.py:52-65)
     distortion: tuple | None = None
+    # apply undistortion remap in the loaders. The reference parses the
+    # coefficients but never applies Undistort in its loaders (cfg.py:52-65;
+    # ScanNet images are typically rectified offline), so this is an
+    # explicit opt-in ("dataset": {"undistort": 1}), default off.
+    undistort: bool = False
     # crop margins (camera intrinsics are stored margin-cropped; the raw
     # image undistortion maps need them back)
     margin_h: int = 0
@@ -144,6 +149,7 @@ def load_scene_config(path: str) -> SceneConfig:
         save_mesh=bool(vis.get("save_mesh", 1)),
         save_pcd=bool(vis.get("save_pcd", 0)),
         distortion=distortion,
+        undistort=bool(c["dataset"].get("undistort", 0)),
         margin_h=mh,
         margin_w=mw,
         raw=c,

@@ -124,6 +124,7 @@ class _SequenceDataset:
                  depth_scale: float = 1e-3, max_depth: float = 8.0,
                  part_mode: bool = False, part_down: int = 5,
                  imap_mode: bool = False, camera=None, distortion=None,
+                 apply_undistort: bool = False,
                  margin_h: int = 0, margin_w: int = 0):
         self.root_dir = root_dir
         self.start = start
@@ -134,9 +135,12 @@ class _SequenceDataset:
         self.part_down = part_down
         self.imap_mode = imap_mode
         # undistortion (reference image_transforms.py:36-59; maps built
-        # lazily from the first frame's size)
+        # lazily from the first frame's size). Explicit opt-in: the
+        # reference parses coefficients but never applies Undistort in its
+        # loaders, so presence of coefficients alone must not remap.
         self.camera = camera
         self.distortion = distortion
+        self.apply_undistort = apply_undistort and distortion is not None
         self.margin_h = margin_h
         self.margin_w = margin_w
         self._undistort_maps = None
@@ -180,10 +184,18 @@ class _SequenceDataset:
                 interpolation=cv2.INTER_LINEAR,
             )
         inst_raw = cv2.imread(self._inst_path(idx_no), cv2.IMREAD_UNCHANGED)
-        if self.distortion is not None:
+        if self.apply_undistort:
             if self._undistort_maps is None:
                 h_im, w_im = depth_raw.shape
                 cam = self.camera
+                exp = (cam.height + 2 * self.margin_h,
+                       cam.width + 2 * self.margin_w)
+                if (h_im, w_im) != exp:
+                    raise ValueError(
+                        f"undistort: on-disk image size {(h_im, w_im)} != "
+                        f"config size {exp}; maps built from the config "
+                        "intrinsics would be silently wrong"
+                    )
                 # the camera's cx/cy are margin-cropped (config.py); the
                 # maps act on the full-size image, so shift back
                 self._undistort_maps = undistort_maps(
@@ -300,6 +312,7 @@ def make_dataset(scene_cfg):
         imap_mode=scene_cfg.imap_mode,
         camera=scene_cfg.camera,
         distortion=scene_cfg.distortion,
+        apply_undistort=scene_cfg.undistort,
         margin_h=scene_cfg.margin_h,
         margin_w=scene_cfg.margin_w,
     )

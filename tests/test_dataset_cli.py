@@ -172,10 +172,47 @@ class TestUndistortion:
         cfg = json.load(open(cfg_path))
         plain = make_dataset(load_scene_config(cfg_path))[0]
         cfg["camera"]["distortion"] = [0.0] * 8
+        cfg["dataset"]["undistort"] = 1
         json.dump(cfg, open(cfg_path, "w"))
         undist = make_dataset(load_scene_config(cfg_path))[0]
         np.testing.assert_array_equal(plain.depth, undist.depth)
         np.testing.assert_array_equal(plain.rgb, undist.rgb)
+
+    def test_coefficients_alone_do_not_remap(self, tmp_path):
+        """Reference parity: cfg.py:52-65 parses distortion but the loaders
+        never apply Undistort — the remap is an explicit opt-in."""
+        from openobj_tpu.config import load_scene_config
+        from openobj_tpu.data.loaders import make_dataset
+
+        root = str(tmp_path / "scene")
+        write_replica_dataset(root, n_raw_frames=20)
+        cfg_path = _config_json(root, tmp_path)
+        cfg = json.load(open(cfg_path))
+        plain = make_dataset(load_scene_config(cfg_path))[0]
+        cfg["camera"]["distortion"] = [0.3, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+        json.dump(cfg, open(cfg_path, "w"))
+        sc = load_scene_config(cfg_path)
+        assert sc.distortion is not None and not sc.undistort
+        same = make_dataset(sc)[0]
+        np.testing.assert_array_equal(plain.depth, same.depth)
+        np.testing.assert_array_equal(plain.rgb, same.rgb)
+
+    def test_size_mismatch_raises(self, tmp_path):
+        """Undistort maps built from config intrinsics must refuse images
+        whose on-disk size differs from the config size."""
+        from openobj_tpu.config import load_scene_config
+        from openobj_tpu.data.loaders import make_dataset
+
+        root = str(tmp_path / "scene")
+        write_replica_dataset(root, n_raw_frames=20)
+        cfg_path = _config_json(root, tmp_path)
+        cfg = json.load(open(cfg_path))
+        cfg["camera"]["distortion"] = [0.3] + [0.0] * 7
+        cfg["dataset"]["undistort"] = 1
+        cfg["camera"]["w"] = W + 8  # config lies about the image size
+        json.dump(cfg, open(cfg_path, "w"))
+        with pytest.raises(ValueError, match="undistort"):
+            make_dataset(load_scene_config(cfg_path))[0]
 
     def test_partial_k_coefficients_default_zero(self, tmp_path):
         from openobj_tpu.config import load_scene_config
@@ -203,6 +240,7 @@ class TestUndistortion:
         cfg = json.load(open(cfg_path))
         plain = make_dataset(load_scene_config(cfg_path))[0]
         cfg["camera"]["distortion"] = [0.3, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+        cfg["dataset"]["undistort"] = 1
         json.dump(cfg, open(cfg_path, "w"))
         undist = make_dataset(load_scene_config(cfg_path))[0]
         assert not np.array_equal(plain.inst, undist.inst)
@@ -219,6 +257,7 @@ class TestUndistortion:
         cfg = json.load(open(cfg_path))
         plain = make_dataset(load_scene_config(cfg_path))[0]
         cfg["camera"]["distortion"] = [0.3, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+        cfg["dataset"]["undistort"] = 1
         json.dump(cfg, open(cfg_path, "w"))
         undist = make_dataset(load_scene_config(cfg_path))[0]
         assert undist.depth.shape == plain.depth.shape
