@@ -244,6 +244,32 @@ def composite_views(
 # --------------------------------------------------------------------------- #
 
 
+def _obb_ray_geometry(t_wo, extents, active, origins, dirs_w, far_extension):
+    """Slab-test every ray against every OBB: (near, far, hit) with shapes
+    [O, N]."""
+    r_ow = jnp.swapaxes(t_wo[:, :3, :3], 1, 2)           # world -> obb
+    o_off = origins[None] - t_wo[:, None, :3, 3]         # [O, N, 3]
+    o_obb = jnp.einsum("oij,onj->oni", r_ow, o_off)
+    d_obb = jnp.einsum("oij,nj->oni", r_ow, dirs_w)
+    near, far, hit = jax.vmap(
+        lambda o, d, e: sampling.ray_box_intersection(o, d, -e / 2.0, e / 2.0)
+    )(o_obb, d_obb, extents)
+    hit = hit & active[:, None]
+    near = jnp.maximum(near, 0.0)
+    far = jnp.where(far > near, far, near + 1e-3) + far_extension
+    return near, far, hit
+
+
+@jax.jit
+def obb_hit_counts(t_wo, extents, active, origins, dirs_w):
+    """Per-object OBB-hit ray counts [O] — cheap pure-geometry pre-pass so
+    callers can size ``render_frame_batched``'s ``max_hit_rays`` to the
+    actual coverage and never silently truncate (a close-up object can
+    cover most of the frame)."""
+    _, _, hit = _obb_ray_geometry(t_wo, extents, active, origins, dirs_w, 0.0)
+    return jnp.sum(hit, axis=1).astype(jnp.int32)
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -281,22 +307,21 @@ def render_frame_batched(
     the field FLOPs by the typical 1/coverage factor.
 
     Returns {"depth" [N] (inf = no hit), "winner" [N] int32 (index into the
-    stack, -1 = none), "color" [N, 3]}.
+    stack, -1 = none), "color" [N, 3], "n_hit" [O] int32}.
+
+    ``n_hit`` is each object's true OBB-hit ray count: if any
+    ``n_hit[o] > max_hit_rays`` that object's surplus rays were NOT rendered
+    (holes). Callers must size the cap from ``obb_hit_counts`` (as
+    train.render_dataset does) or check ``n_hit`` after the fact.
     """
     o_count = extents.shape[0]
     n = origins.shape[0]
     m = max_hit_rays
 
-    r_ow = jnp.swapaxes(t_wo[:, :3, :3], 1, 2)           # world -> obb
-    o_off = origins[None] - t_wo[:, None, :3, 3]         # [O, N, 3]
-    o_obb = jnp.einsum("oij,onj->oni", r_ow, o_off)
-    d_obb = jnp.einsum("oij,nj->oni", r_ow, dirs_w)
-    near, far, hit = jax.vmap(
-        lambda o, d, e: sampling.ray_box_intersection(o, d, -e / 2.0, e / 2.0)
-    )(o_obb, d_obb, extents)
-    hit = hit & active[:, None]
-    near = jnp.maximum(near, 0.0)
-    far = jnp.where(far > near, far, near + 1e-3) + far_extension
+    near, far, hit = _obb_ray_geometry(
+        t_wo, extents, active, origins, dirs_w, far_extension
+    )
+    n_hit = jnp.sum(hit, axis=1).astype(jnp.int32)
 
     idx = jax.vmap(lambda h: jnp.nonzero(h, size=m, fill_value=n)[0])(hit)
     valid = idx < n
@@ -381,4 +406,4 @@ def render_frame_batched(
         (jnp.full((n,), jnp.inf), jnp.full((n,), -1, jnp.int32),
          jnp.zeros((n, 3))),
     )
-    return {"depth": zb, "winner": win, "color": rgbb}
+    return {"depth": zb, "winner": win, "color": rgbb, "n_hit": n_hit}

@@ -111,7 +111,8 @@ class TestBatchedRender:
 
     def test_hit_cap_truncates_gracefully(self, setup):
         """max_hit_rays smaller than the true hit count: renders a subset,
-        still finite and well-formed."""
+        still finite and well-formed — and n_hit reports the TRUE counts so
+        the caller can detect the overflow."""
         h, w, origins, dirs_w, boxes, params, stacked, t_wo, extents = setup
         out = renderer.render_frame_batched(
             stacked, t_wo, extents, jnp.zeros((2, 3)), jnp.ones((2,), bool),
@@ -121,6 +122,58 @@ class TestBatchedRender:
         win = np.asarray(out["winner"])
         assert (win >= -1).all() and (win <= 1).all()
         assert np.isfinite(np.asarray(out["color"])).all()
+        counts = np.asarray(renderer.obb_hit_counts(
+            t_wo, extents, jnp.ones((2,), bool), origins, dirs_w
+        ))
+        np.testing.assert_array_equal(np.asarray(out["n_hit"]), counts)
+        assert counts.max() > 64  # this scene DOES overflow the tiny cap
+
+    def test_closeup_object_no_dropped_pixels(self):
+        """A solid object whose box covers ~60% of the frame: when the cap
+        is sized from obb_hit_counts (the render_dataset policy), every
+        OBB-hit pixel renders — zero holes."""
+        h, w = 48, 64
+        cam_dirs = sampling.camera_ray_dirs(
+            w, h, fx=30.0, fy=30.0, cx=32.0, cy=24.0
+        )
+        dirs_c = jnp.asarray(cam_dirs).reshape(-1, 3)
+        t = jnp.eye(4)
+        origins, dirs_w = sampling.origin_dirs_w(
+            jnp.broadcast_to(t, (dirs_c.shape[0], 4, 4)), dirs_c
+        )
+        box = OrientedBox(center=np.array([0.0, 0.0, 1.5]), r=np.eye(3),
+                          extent=np.array([2.4, 2.4, 0.8]))
+        p = _solid_field(jax.random.PRNGKey(5))
+        stacked = jax.tree.map(lambda x: x[None], p)
+        t_wo = np.eye(4, dtype=np.float32)
+        t_wo[:3, 3] = box.center
+        t_wo = jnp.asarray(t_wo)[None]
+        extents = jnp.asarray(box.extent, jnp.float32)[None]
+        active = jnp.ones((1,), bool)
+
+        counts = np.asarray(renderer.obb_hit_counts(
+            t_wo, extents, active, origins, dirs_w
+        ))
+        frac = counts[0] / (h * w)
+        assert frac > 0.5, frac  # genuinely a close-up object
+
+        chunk = 256
+        cap = -(-int(counts.max()) // chunk) * chunk
+        out = renderer.render_frame_batched(
+            stacked, t_wo, extents, jnp.zeros((1, 3)), active,
+            origins, dirs_w, jax.random.PRNGKey(1),
+            n_bins=40, max_hit_rays=cap, chunk=chunk,
+        )
+        win = np.asarray(out["winner"])
+        # solid field: every OBB-hit ray terminates -> must be rendered
+        per_obj = renderer.render_rays_obb(
+            p, origins, dirs_w, t_wo[0], extents[0], jnp.zeros(3),
+            jax.random.PRNGKey(2), n_bins=40, chunk_size=chunk,
+        )
+        hit_ref = np.asarray(per_obj["hit"])
+        assert hit_ref.sum() >= counts[0] * 0.98
+        dropped = hit_ref & (win != 0)
+        assert dropped.sum() == 0, f"{dropped.sum()} hit pixels dropped"
 
 
 class TestTwoPassRender:
