@@ -129,6 +129,9 @@ def _registry_meta(mapper) -> dict:
             [r.slots[s].inst_id for s in sorted(r.slots)], np.int64
         ),
         "frame_count": np.asarray(mapper.frame_count, np.int64),
+        # temporal frame -> store slot (eviction recycles slots; replaying
+        # appends at these slots reproduces the final store exactly)
+        "frame_slots": np.asarray(mapper.frame_slots, np.int64),
         "bg_seen": np.asarray(int(r.bg_seen), np.int64),
         "bg_kf_frames": r.bg_kf_frames,
         "bg_kf_bbox": r.bg_kf_bbox,
@@ -213,6 +216,8 @@ def _restore_registry_meta(mapper, z) -> None:
         mapper.frame_count = int(z["frame_count"])
         for slot, stt in r.slots.items():
             stt.frame_cnt = mapper.frame_count  # approximate policy resume
+    if "frame_slots" in z:
+        mapper.frame_slots = [int(x) for x in z["frame_slots"]]
     if "bg_seen" in z and r.bg is not None:
         r.bg_seen = bool(int(z["bg_seen"]))
         r.bg_kf_frames[:] = z["bg_kf_frames"]

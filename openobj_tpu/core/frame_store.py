@@ -122,15 +122,14 @@ def init_frame_store(
 
 
 @jax.jit
-def _append(store: FrameStore, rgb, depth, inst, t_wc, partfeat) -> FrameStore:
-    i = store.n_frames
+def _append(store: FrameStore, rgb, depth, inst, t_wc, partfeat, i) -> FrameStore:
     new = replace(
         store,
         packed=jax.lax.dynamic_update_index_in_dim(
             store.packed, pack_pixels(depth, inst, rgb), i, 1
         ),
         t_wc=jax.lax.dynamic_update_index_in_dim(store.t_wc, t_wc, i, 0),
-        n_frames=i + 1,
+        n_frames=jnp.maximum(store.n_frames, i + 1),
     )
     if store.partfeat is not None:
         new = replace(
@@ -152,15 +151,28 @@ def _encode_partfeat(partfeat: jnp.ndarray, dtype) -> jnp.ndarray:
 
 
 def append_frame(
-    store: FrameStore, rgb, depth, inst, t_wc, partfeat=None
+    store: FrameStore, rgb, depth, inst, t_wc, partfeat=None,
+    at: int | None = None,
 ) -> tuple[FrameStore, int]:
     """Append one frame; returns (new store, frame index). Host-called once
-    per frame — the scatter itself runs on device."""
-    idx = int(store.n_frames)
-    if idx >= store.capacity:
-        raise ValueError(
-            f"frame store full ({store.capacity}); raise capacity or add eviction"
-        )
+    per frame — the scatter itself runs on device.
+
+    ``at`` overwrites an existing store slot instead of appending — the
+    eviction path: when the store is full, SceneMapper recycles a slot no
+    keyframe ring references (the reference's analog is its fixed 20-slot
+    per-object buffers with random pruning, vmap.py:187-257; here frames
+    are stored once so eviction is a shared-slot remap)."""
+    if at is None:
+        idx = int(store.n_frames)
+        if idx >= store.capacity:
+            raise ValueError(
+                f"frame store full ({store.capacity}); raise capacity or "
+                "pass at=<recyclable slot> (see SceneMapper eviction)"
+            )
+    else:
+        idx = int(at)
+        if not 0 <= idx < store.capacity:
+            raise ValueError(f"at={idx} outside store capacity {store.capacity}")
     rgb = jnp.asarray(rgb, dtype=jnp.uint8)
     depth = jnp.asarray(depth, dtype=jnp.float32)
     inst = jnp.asarray(inst, dtype=jnp.int32)
@@ -172,4 +184,6 @@ def append_frame(
             )
         else:
             partfeat = _encode_partfeat(partfeat, store.partfeat.dtype)
-    return _append(store, rgb, depth, inst, t_wc, partfeat), idx
+    return _append(
+        store, rgb, depth, inst, t_wc, partfeat, jnp.asarray(idx, jnp.int32)
+    ), idx

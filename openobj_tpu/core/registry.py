@@ -194,6 +194,18 @@ class ObjectRegistry:
             st.captions.append(caption)
         return slot
 
+    def referenced_frames(self) -> set:
+        """Every store frame index any keyframe ring (fg or bg) may still
+        reference — the NON-evictable set. Conservative: all K entries of
+        each active slot count (ring entries never written hold 0, which
+        over-retains store slot 0 only)."""
+        ref = set()
+        if self.active.any():
+            ref.update(np.unique(self.kf_frames[self.active]).tolist())
+        if self.bg is not None and self.bg_seen:
+            ref.update(np.unique(self.bg_kf_frames).tolist())
+        return ref
+
     def pop_new_slots(self) -> list[int]:
         out = self.new_slots_this_frame
         self.new_slots_this_frame = []

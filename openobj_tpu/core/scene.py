@@ -92,6 +92,9 @@ class SceneMapper:
         self._key, k0 = jax.random.split(self._key)
         self.state = trainer.init_train_state(k0, cfg, n_slots=initial_bucket)
         self.frame_count = 0
+        # temporal frame i -> store slot (eviction can recycle slots, so
+        # this is the replayable mapping checkpoint/resume needs)
+        self.frame_slots: list[int] = []
         self.loss_history: list[float] = []
         self.on_loss_explosion = on_loss_explosion
         self.loss_explosion_factor = loss_explosion_factor
@@ -168,9 +171,13 @@ class SceneMapper:
         Returns the per-iteration loss vector (or None if train=False)."""
         from openobj_tpu.data.transforms import instance_bboxes
 
+        at = None
+        if int(self.store.n_frames) >= self.store.capacity:
+            at = self._evict_frame_slot()
         self.store, frame_idx = append_frame(
-            self.store, rgb, depth, inst, t_wc, partfeat
+            self.store, rgb, depth, inst, t_wc, partfeat, at=at
         )
+        self.frame_slots.append(frame_idx)
         if bboxes is None:
             bboxes = instance_bboxes(np.asarray(inst))
         for oid, bbox in bboxes.items():
@@ -197,6 +204,22 @@ class SceneMapper:
             self.loss_history.append(float(prev[-1]))
         self._pending_losses = self._train_once_async()
         return self._pending_losses
+
+    def _evict_frame_slot(self) -> int:
+        """Pick a store slot no keyframe ring references. This bounds device
+        memory over arbitrarily long sequences (the reference's analog:
+        constant-size per-object buffers with random pruning,
+        vmap.py:187-257 — here frames are shared, so eviction recycles
+        whichever shared slot fell out of every ring)."""
+        ref = self.registry.referenced_frames()
+        for i in range(self.store.capacity):
+            if i not in ref:
+                return i
+        raise RuntimeError(
+            f"frame store exhausted: all {self.store.capacity} slots are "
+            f"referenced by keyframe rings ({len(ref)} referenced). Raise "
+            "frame_capacity or shrink keyframe_buffer_size."
+        )
 
     def finish(self) -> None:
         """Drain the pipeline: validate the last frame's losses. Call after

@@ -120,7 +120,7 @@ def save_checkpoints(mapper, log_dir: str, t_wc_last: np.ndarray):
 def render_dataset(mapper, dataset, log_dir: str, mapping_class: dict,
                    bg_ids=(0, 2, 3), n_bins: int = 150, chunk: int = 2048,
                    hit_frac: float = 0.25, two_pass: bool = False,
-                   n_probe: int = 32):
+                   n_probe: int = 32, refine_bins: int | None = None):
     """Render every dataset pose through all object fields with z-buffer
     compositing; write rgb/depth/maskid PNGs (train.py:550-612 — the maskid
     images are the mIoU-eval artifact).
@@ -133,11 +133,17 @@ def render_dataset(mapper, dataset, log_dir: str, mapping_class: dict,
     two_pass: probe-and-tighten empty-space skipping (renderer docstring) —
     measured 1.6x faster at the room_0 render envelope with the refine pass
     at 64 bins; parity depends on the fields having converged to hard
-    surfaces, so it is opt-in."""
+    surfaces, so it is opt-in. refine_bins sets the refine pass's bin count
+    explicitly (default: max(n_bins // 2, 48)) so config n_bins and the
+    empty-space-skipping tradeoff stay independently controllable."""
     import cv2
     import jax
     import jax.numpy as jnp
     from openobj_tpu.core import renderer
+
+    eff_bins = n_bins
+    if two_pass:
+        eff_bins = refine_bins if refine_bins is not None else max(n_bins // 2, 48)
     from openobj_tpu.ops import sampling as S
 
     out_dir = os.path.join(log_dir, "render")
@@ -172,8 +178,8 @@ def render_dataset(mapper, dataset, log_dir: str, mapping_class: dict,
             centers[j] = st.obj_center
         active = jnp.ones((len(fg),), bool)
         inst_arr = np.asarray([i for i, _, _ in fg], np.int32)
-        mhr = min(-(-int(h * w * hit_frac) // chunk) * chunk,
-                  -(-(h * w) // chunk) * chunk)
+        mhr_full = -(-(h * w) // chunk) * chunk
+        mhr = min(-(-int(h * w * hit_frac) // chunk) * chunk, mhr_full)
 
     dirs_c = jnp.asarray(mapper.cam_dirs).reshape(-1, 3)
     key = jax.random.PRNGKey(0)
@@ -189,14 +195,27 @@ def render_dataset(mapper, dataset, log_dir: str, mapping_class: dict,
         zbuf = np.full((h, w), 100.0, np.float32)
         if fg:
             key, k = jax.random.split(key)
+            # size the compaction cap from the TRUE per-object coverage so a
+            # close-up object (e.g. a bed filling the view) never loses
+            # pixels; double to the next chunk multiple so recompiles stay
+            # O(log) over the run
+            need = int(jnp.max(renderer.obb_hit_counts(
+                jnp.asarray(t_wo), jnp.asarray(extents), active,
+                origins, dirs_w,
+            )))
+            while mhr < min(need, mhr_full):
+                mhr = min(mhr * 2, mhr_full)
+                print(f"render: raising max_hit_rays to {mhr} "
+                      f"(an object covers {need} rays)")
             out = renderer.render_frame_batched(
                 params_sub, jnp.asarray(t_wo), jnp.asarray(extents),
                 jnp.asarray(centers), active, origins, dirs_w, k,
-                n_bins=n_bins if not two_pass else max(n_bins // 2, 48),
+                n_bins=eff_bins,
                 max_hit_rays=mhr, chunk=chunk,
                 max_deg=mapper.cfg.max_deg,
                 two_pass=two_pass, n_probe=n_probe,
             )
+            assert int(jnp.max(out["n_hit"])) <= mhr
             win = np.asarray(out["winner"]).reshape(h, w)
             zb = np.asarray(out["depth"]).reshape(h, w)
             col = np.asarray(out["color"]).reshape(h, w, 3)
@@ -213,7 +232,7 @@ def render_dataset(mapper, dataset, log_dir: str, mapping_class: dict,
             v = renderer.render_object_view(
                 params, st.bbox3d, st.obj_center, sample.t_wc,
                 mapper.cam_dirs, k,
-                n_bins=n_bins if not two_pass else max(n_bins // 2, 48),
+                n_bins=eff_bins,
                 two_pass=two_pass, n_probe=n_probe,
             )
             d = np.where(v["hit"], v["depth"], 100.0)
@@ -278,6 +297,10 @@ def main(argv=None):
     parser.add_argument("--class-features", default=None,
                         help=".npz with names/clipfeat/capfeat")
     parser.add_argument("--max-frames", type=int, default=None)
+    parser.add_argument("--frame-capacity", type=int, default=256,
+                        help="device frame-store slots; sequences longer "
+                             "than this train in constant memory via "
+                             "keyframe-ring eviction (SceneMapper)")
     parser.add_argument("--tensorboard", action="store_true",
                         help="log per-frame scalars via tensorboardX")
     parser.add_argument("--ckpt-every", type=int, default=None,
@@ -293,6 +316,10 @@ def main(argv=None):
                         help="empty-space-skipping render (probe pass + "
                              "tightened refine pass; ~1.6x faster at the "
                              "room_0 render envelope)")
+    parser.add_argument("--render-refine-bins", type=int, default=None,
+                        help="bin count for the two-pass refine pass "
+                             "(default: max(render n_bins // 2, 48)); only "
+                             "used with --render-two-pass")
     parser.add_argument("--resume", action="store_true",
                         help="resume from <logdir>/scene_state.npz (full "
                              "training state incl. optimizer — the reference "
@@ -320,7 +347,9 @@ def main(argv=None):
     n_frames = len(dataset)
     if args.max_frames:
         n_frames = min(n_frames, args.max_frames)
-    mapper = make_mapper(cfg, frame_capacity=n_frames + 1)
+    mapper = make_mapper(
+        cfg, frame_capacity=min(n_frames + 1, args.frame_capacity)
+    )
     class_feats = load_class_features(args.class_features)
 
     resume_from = 0
@@ -347,11 +376,15 @@ def main(argv=None):
             break
         if args.resume and i < resume_from:
             # store-only re-ingest: keyframe tables index into the store by
-            # frame slot, so the frames must land in the same positions; the
-            # registry/optimizer state already came from the snapshot
+            # frame slot, so each frame must land in the SAME slot it had
+            # originally (frame_slots replays the eviction mapping; later
+            # writes to a recycled slot overwrite earlier ones, reproducing
+            # the final store); the registry/optimizer state already came
+            # from the snapshot
+            at = mapper.frame_slots[i] if i < len(mapper.frame_slots) else None
             mapper.store, _ = append_frame(
                 mapper.store, sample.rgb, sample.depth, sample.inst,
-                sample.t_wc, sample.part_feat,
+                sample.t_wc, sample.part_feat, at=at,
             )
             t_wc_last = sample.t_wc
             continue
@@ -385,7 +418,8 @@ def main(argv=None):
         render_dataset(mapper, dataset, args.logdir, mapping_class,
                        bg_ids=cfg.bg_ids,
                        two_pass=args.render_two_pass
-                       or bool(vis.get("two_pass", 0)))
+                       or bool(vis.get("two_pass", 0)),
+                       refine_bins=args.render_refine_bins)
     if bool(vis.get("if_obj", 0)) or cfg.save_mesh:
         n = export_meshes(mapper, args.logdir, cfg.grid_dim,
                           cfg.live_voxel_size, cfg.save_mesh, cfg.save_pcd)

@@ -80,6 +80,130 @@ class TestFrameStore:
         assert float(s.partfeat[0].astype(jnp.float32).sum()) == 64.0
 
 
+class TestFrameEviction:
+    """Long sequences train in CONSTANT device memory: when the store fills,
+    SceneMapper recycles slots no keyframe ring references (the reference's
+    analog: fixed 20-slot per-object buffers with random pruning,
+    vmap.py:187-257)."""
+
+    def _run_stream(self, n_frames, capacity, K=4, step=2):
+        cam = Camera(width=32, height=24, fx=20.0, fy=20.0, cx=16.0, cy=12.0)
+        cfg = trainer.TrainConfig(
+            n_iters_per_frame=4, win_size=2, n_samples_per_frame=8,
+            win_size_bg=2, n_samples_per_frame_bg=16,
+            hidden=16, hidden_bg=16, clip_size=4,
+        )
+        m = SceneMapper(cam, cfg, frame_capacity=capacity, initial_bucket=4,
+                        keyframe_buffer_size=K, keyframe_step=step,
+                        keyframe_step_bg=step)
+        scene = synthetic.default_scene(n_spheres=1)
+        dirs = np.asarray(cam.ray_dirs())
+        poses = []
+        for rgb, depth, inst, t_wc in synthetic.make_sequence(
+            scene, dirs, n_frames
+        ):
+            m.process_frame(rgb, depth, inst, t_wc)
+            poses.append(t_wc)
+        m.finish()
+        return m, poses
+
+    def test_long_stream_constant_memory(self):
+        n_frames, capacity = 24, 8
+        m, poses = self._run_stream(n_frames, capacity)
+        assert m.store.capacity == capacity          # never grew
+        assert len(m.frame_slots) == n_frames
+        assert max(m.frame_slots) < capacity         # slots recycled
+        assert len(set(m.frame_slots)) <= capacity
+        assert all(np.isfinite(v) for v in m.loss_history)
+        # store content = last temporal frame written at each slot
+        last_at = {}
+        for i, s in enumerate(m.frame_slots):
+            last_at[s] = i
+        for s, i in last_at.items():
+            np.testing.assert_allclose(
+                np.asarray(m.store.t_wc[s]), poses[i], atol=1e-6
+            )
+
+    def test_rings_never_reference_recycled_slots(self):
+        """Sampling parity under eviction: every keyframe-ring entry must
+        point at a store slot whose CURRENT occupant is the temporal frame
+        the ring intended when the entry was written (an evicted-under-the-
+        ring slot would silently train on wrong pixels)."""
+        n_frames, capacity, K = 30, 8, 4
+        cam = Camera(width=32, height=24, fx=20.0, fy=20.0, cx=16.0, cy=12.0)
+        cfg = trainer.TrainConfig(
+            n_iters_per_frame=4, win_size=2, n_samples_per_frame=8,
+            win_size_bg=2, n_samples_per_frame_bg=16,
+            hidden=16, hidden_bg=16, clip_size=4,
+        )
+        m = SceneMapper(cam, cfg, frame_capacity=capacity, initial_bucket=4,
+                        keyframe_buffer_size=K, keyframe_step=3,
+                        keyframe_step_bg=3)
+        scene = synthetic.default_scene(n_spheres=1)
+        dirs = np.asarray(cam.ray_dirs())
+        r = m.registry
+        intent = {}      # (ring row id, entry) -> temporal frame intended
+        bg_intent = {}
+        for i, (rgb, depth, inst, t_wc) in enumerate(
+            synthetic.make_sequence(scene, dirs, n_frames)
+        ):
+            prev = r.kf_frames.copy()
+            prev_bg = r.bg_kf_frames.copy()
+            m.process_frame(rgb, depth, inst, t_wc)
+            for slot, e in zip(*np.nonzero(prev != r.kf_frames)):
+                intent[(int(slot), int(e))] = i
+            for (e,) in zip(*[np.nonzero(prev_bg != r.bg_kf_frames)[0]]):
+                bg_intent[int(e)] = i
+        m.finish()
+        last_at = {}
+        for i, s in enumerate(m.frame_slots):
+            last_at[s] = i
+        # unwritten entries hold store slot 0 with implied temporal 0; slot
+        # 0 is pinned by those references, so intent defaults to 0
+        for slot in r.slots:
+            for e in range(K):
+                fs = int(r.kf_frames[slot, e])
+                assert last_at.get(fs, 0) == intent.get((slot, e), 0), (
+                    slot, e, fs
+                )
+        for e in range(K):
+            fs = int(r.bg_kf_frames[e])
+            assert last_at.get(fs, 0) == bg_intent.get(e, 0), (e, fs)
+
+    def test_exhaustion_raises(self):
+        """All slots referenced -> clear error, not silent corruption."""
+        with pytest.raises(RuntimeError, match="frame store exhausted"):
+            self._run_stream(20, capacity=2, K=6, step=1)
+
+    def test_checkpoint_replay_reproduces_store(self, tmp_path):
+        """save_scene records frame_slots; replaying appends at those slots
+        reproduces the final (evicted) store bit-exactly — the resume
+        contract in train.py."""
+        from openobj_tpu.core.checkpoint import load_scene, save_scene
+
+        n_frames, capacity = 20, 6
+        m, poses = self._run_stream(n_frames, capacity)
+        save_scene(str(tmp_path), m)
+
+        cam = Camera(width=32, height=24, fx=20.0, fy=20.0, cx=16.0, cy=12.0)
+        m2 = SceneMapper(cam, m.cfg, frame_capacity=capacity, initial_bucket=4,
+                         keyframe_buffer_size=4, keyframe_step=2,
+                         keyframe_step_bg=2)
+        load_scene(str(tmp_path), m2)
+        assert m2.frame_slots == m.frame_slots
+        scene = synthetic.default_scene(n_spheres=1)
+        dirs = np.asarray(cam.ray_dirs())
+        for i, (rgb, depth, inst, t_wc) in enumerate(
+            synthetic.make_sequence(scene, dirs, n_frames)
+        ):
+            m2.store, _ = append_frame(
+                m2.store, rgb, depth, inst, t_wc, at=m2.frame_slots[i]
+            )
+        np.testing.assert_array_equal(
+            np.asarray(m2.store.packed), np.asarray(m.store.packed)
+        )
+
+
 class TestRegistryPolicy:
     def _mk(self, K=5, step=2):
         return ObjectRegistry(
