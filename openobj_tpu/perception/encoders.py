@@ -133,15 +133,20 @@ def crop_with_padding(image: np.ndarray, bbox, pad: int = 20) -> np.ndarray:
 class HFClipEncoder:
     """CLIP ViT-B/32 image+text encoder on transformers (the reference's
     `clip.load("ViT-B/32")`, mask_gen.py:477, train.py:135). Requires local
-    weights — pass a local path as model_name in an egress-less env."""
+    weights — pass a local path as model_name in an egress-less env, or
+    inject a prebuilt (model, processor) pair (how the tests run this code
+    with tiny randomly-initialized CLIPConfig models)."""
 
     model_name: str = "openai/clip-vit-base-patch32"
+    model: object = None
+    processor: object = None
 
     def __post_init__(self):
-        from transformers import CLIPModel, CLIPProcessor
+        if self.model is None or self.processor is None:
+            from transformers import CLIPModel, CLIPProcessor
 
-        self.model = CLIPModel.from_pretrained(self.model_name)
-        self.processor = CLIPProcessor.from_pretrained(self.model_name)
+            self.model = CLIPModel.from_pretrained(self.model_name)
+            self.processor = CLIPProcessor.from_pretrained(self.model_name)
 
     def encode_images(self, images: list[np.ndarray]) -> np.ndarray:
         import torch
@@ -165,15 +170,19 @@ class HFClipEncoder:
 @dataclass
 class HFSbertEncoder:
     """all-MiniLM-L6-v2 sentence encoder (the reference's SBERT,
-    train.py:143). Mean-pooled, L2-normalized 384-d."""
+    train.py:143). Mean-pooled, L2-normalized 384-d. A prebuilt
+    (model, tokenizer) pair can be injected instead of model_name."""
 
     model_name: str = "sentence-transformers/all-MiniLM-L6-v2"
+    model: object = None
+    tokenizer: object = None
 
     def __post_init__(self):
-        from transformers import AutoModel, AutoTokenizer
+        if self.model is None or self.tokenizer is None:
+            from transformers import AutoModel, AutoTokenizer
 
-        self.tokenizer = AutoTokenizer.from_pretrained(self.model_name)
-        self.model = AutoModel.from_pretrained(self.model_name)
+            self.tokenizer = AutoTokenizer.from_pretrained(self.model_name)
+            self.model = AutoModel.from_pretrained(self.model_name)
 
     def encode_texts(self, texts: list[str]) -> np.ndarray:
         import torch
