@@ -73,6 +73,10 @@ def main(argv=None):
     src.add_argument("--from-tsv", default=None,
                      help="scannetv2-labels.combined.tsv")
     src.add_argument("--names", default=None, help="comma-separated list")
+    src.add_argument("--dataset", default=None,
+                     choices=("replica", "scannet"),
+                     help="use the shipped public vocabulary "
+                          "(viz.class_tables) — no dataset files needed")
     ap.add_argument("--encoders", default="fake",
                     choices=("fake", "hf", "vocab"))
     ap.add_argument("--vocab", default=None)
@@ -82,6 +86,10 @@ def main(argv=None):
         names = class_names_from_render_config(args.from_yaml)
     elif args.from_tsv:
         names = class_names_from_scannet_tsv(args.from_tsv)
+    elif args.dataset:
+        from openobj_tpu.viz.class_tables import class_names
+
+        names = class_names(args.dataset)
     else:
         names = [n.strip() for n in args.names.split(",") if n.strip()]
 

@@ -531,15 +531,21 @@ def main(argv=None):
     ap.add_argument("--vocab", default=None, help="vocabulary npz for "
                     "--encoders vocab")
     ap.add_argument("--class-colors", default=None,
-                    help="reference-format color map YAML")
+                    help="reference-format color map YAML, or a shipped "
+                         "dataset name ('replica' | 'scannet', "
+                         "viz.class_tables)")
     args = ap.parse_args(argv)
 
     bundle = load_map_bundle(args.bundle)
     print(f"loaded {len(bundle)} objects from {args.bundle}")
-    class_colors = (
-        C.ClassColorMap.from_yaml(args.class_colors)
-        if args.class_colors else None
-    )
+    class_colors = None
+    if args.class_colors:
+        if args.class_colors.lower() in ("replica", "scannet"):
+            from openobj_tpu.viz import class_tables
+
+            class_colors = class_tables.for_dataset(args.class_colors)
+        else:
+            class_colors = C.ClassColorMap.from_yaml(args.class_colors)
 
     colorings, scores, initial = {}, None, "rgb"
     if args.query:

@@ -62,6 +62,89 @@ class TestColors:
         assert gen.name_of(1) == "b"
 
 
+class TestShippedClassTables:
+    """First-party Replica/ScanNet class tables (viz.class_tables) — the
+    reference ships these as replica_color.yaml (523 L) /
+    scannet_color.yaml (799 L); parity facts encoded below come from the
+    public dataset vocabularies."""
+
+    def test_replica_merge_numbering(self):
+        from openobj_tpu.viz import class_tables as ct
+
+        m = ct.for_dataset("replica")
+        assert len(m.names) == 83           # 102 raw -> 83 merged classes
+        assert m.names[0] == "unknown"
+        assert m.names[82] == "bag"
+        # synonym merges land on the first-appearance merged id
+        assert m.name_of(14) == "cup"       # bottle -> cup
+        assert m.name_of(16) == "cup"       # bowl -> cup
+        assert m.mapping[14] == m.mapping[16] == m.mapping[28] == 14
+        assert m.name_of(48) == "computer"  # laptop
+        assert m.name_of(82) == "computer"  # tablet
+        assert m.name_of(61) == "cushion"   # pillow
+        # wall/floor/ceiling (the association pipeline's anchored classes)
+        assert m.name_of(93) == "wall"
+        assert m.name_of(40) == "floor"
+        assert m.name_of(31) == "ceiling"
+
+    def test_scannet_nyu40(self):
+        from openobj_tpu.viz import class_tables as ct
+
+        m = ct.for_dataset("scannet")
+        assert len(m.names) == 41          # unknown + NYU40
+        assert m.names[1] == "wall" and m.names[2] == "floor"
+        assert m.names[40] == "otherprop"
+        np.testing.assert_array_equal(m.color_of(1), [174, 199, 232])
+        assert len(ct.class_names("scannet")) == 41
+
+    def test_shipped_yaml_files_load(self):
+        import os
+
+        import openobj_tpu
+        from openobj_tpu.viz import class_tables as ct
+
+        root = os.path.join(os.path.dirname(openobj_tpu.__file__),
+                            "configs", "colors")
+        for name in ("replica", "scannet"):
+            cm = C.ClassColorMap.from_yaml(
+                os.path.join(root, f"{name}_classes.yaml")
+            )
+            live = ct.for_dataset(name)
+            assert cm.mapping == live.mapping
+            assert cm.names == live.names
+
+    def test_viewer_s_mode_uses_class_colors(self, bundle):
+        """'S' class mode: vertex colors come from the shipped table via
+        the viewer's class_id+1 lookup (vis_interaction.py:284)."""
+        from openobj_tpu.viz import class_tables as ct
+
+        b, _ = bundle
+        m = ct.for_dataset("replica")
+        for oid, e in b.items():
+            e["class_id"] = 19  # viewer looks up class_id + 1 = 20 (chair)
+        modes = viewer.bundle_colorings(b, class_colors=m)
+        expect = m.color_of(20)
+        for oid in b:
+            np.testing.assert_array_equal(modes["class"][oid][0], expect)
+
+    def test_eval_class_mapping(self):
+        """mIoU protocol with merged ids: raw GT/pred ids that merge to the
+        same class must score as one class."""
+        from openobj_tpu.eval import evaluate_semantic_maps
+        from openobj_tpu.viz import class_tables as ct
+
+        m = ct.for_dataset("replica")
+        lut = np.zeros(max(m.mapping) + 1, np.int64)
+        for raw, merged in m.mapping.items():
+            lut[raw] = merged
+        gt = np.array([[14, 16], [28, 20]])    # bottle, bowl, cup, chair
+        pred = np.array([[28, 28], [14, 20]])  # all cups + chair
+        out = evaluate_semantic_maps(
+            [lut[pred]], [lut[gt]], n_classes=len(m.names)
+        )
+        assert out["miou"] == 1.0  # merged view: predictions are perfect
+
+
 class TestFakeEncoders:
     def test_cross_process_deterministic(self):
         """The fake hashing encoders must not depend on PYTHONHASHSEED —
