@@ -82,7 +82,22 @@ def main(argv=None):
                     help="train N scenes concurrently on N device groups")
     ap.add_argument("--scene-shard", default=None,
                     help='"i:n": this host takes every n-th scene from i')
+    ap.add_argument("--distributed", default=None, metavar="HOST:PORT",
+                    help="coordinator address: join a multi-process "
+                         "jax.distributed runtime (scene shard defaults to "
+                         "this process's i:n)")
+    ap.add_argument("--num-processes", type=int, default=None)
+    ap.add_argument("--process-id", type=int, default=None)
     args = ap.parse_args(argv)
+
+    if args.distributed:
+        from openobj_tpu.parallel import distributed
+
+        distributed.initialize(
+            args.distributed, args.num_processes, args.process_id
+        )
+        if args.scene_shard is None:
+            args.scene_shard = distributed.process_scene_shard()
 
     configs = sorted(glob.glob(os.path.join(args.config_dir, "*.json")))
     if not configs:
