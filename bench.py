@@ -124,6 +124,30 @@ def main():
     )
     rays_per_sec = rays_per_frame / sec_per_frame
 
+    # hardware-grounded number: XLA's own FLOP count for the compiled
+    # frame program vs the chip peak — so the headline doesn't rest only on
+    # the estimated torch baseline (v5e peak: 197 TFLOP/s bf16; f32
+    # matmuls run at half MXU rate, so peak_frac uses 98.5 TFLOP/s)
+    flops_detail = {}
+    try:
+        cost = (
+            trainer.train_frame
+            .lower(state, store, cam_dirs, fg_tables, bg_tables,
+                   jax.random.PRNGKey(9), cfg)
+            .compile()
+            .cost_analysis()
+        )
+        flops = float((cost or {}).get("flops", 0.0))
+        if flops > 0:
+            achieved = flops / sec_per_frame
+            flops_detail = {
+                "xla_flops_per_frame": flops,
+                "achieved_tflops": round(achieved / 1e12, 2),
+                "peak_frac_f32": round(achieved / 98.5e12, 4),
+            }
+    except Exception as e:  # noqa: BLE001 — cost analysis is best-effort
+        flops_detail = {"cost_analysis_error": str(e)}
+
     print(
         json.dumps(
             {
@@ -138,6 +162,7 @@ def main():
                     "point_evals_per_frame": rays_per_frame * 10,
                     "objects": N_ACTIVE_OBJECTS,
                     "device": str(jax.devices()[0]),
+                    **flops_detail,
                 },
             }
         )
@@ -145,16 +170,26 @@ def main():
 
 
 if __name__ == "__main__":
-    # the dev-TPU tunnel occasionally throws transient FAILED_PRECONDITION
-    # errors; one retry protects the recorded result without masking real
-    # failures
+    # the dev-TPU tunnel occasionally throws transient FAILED_PRECONDITION /
+    # UNAVAILABLE errors; one retry on THOSE protects the recorded result.
+    # Anything else (assertion, OOM, shape error) is a real regression and
+    # re-raises immediately.
     try:
         main()
     except Exception as e:  # noqa: BLE001
         import sys
         import traceback
 
+        msg = f"{type(e).__name__}: {e}"
+        transient = any(
+            s in msg
+            for s in ("FAILED_PRECONDITION", "UNAVAILABLE", "DEADLINE_EXCEEDED",
+                      "Socket closed", "Connection reset")
+        )
+        if not transient:
+            raise
         traceback.print_exc()
-        print(f"bench attempt 1 failed ({e}); retrying once", file=sys.stderr)
+        print(f"bench attempt 1 hit transient tunnel error ({msg}); "
+              "retrying once", file=sys.stderr)
         time.sleep(30)
         main()
