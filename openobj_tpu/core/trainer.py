@@ -21,6 +21,7 @@ Workload-shape parity (configs/Replica/room_0.json):
 from __future__ import annotations
 
 from dataclasses import dataclass
+import os
 from functools import partial
 
 import jax
@@ -70,8 +71,10 @@ class TrainConfig:
     # "f32" or "bf16": MLP matmul operand precision (f32 masters + accum).
     compute_dtype: str = "f32"
     # unroll factor for the optimizer-step scan (amortizes per-iteration
-    # fixed costs across the ~40 small fusions per step; raises compile time)
-    scan_unroll: int = 4
+    # fixed costs across the ~40 small fusions per step; raises compile
+    # time). Numerics-invariant; env-overridable so the CPU test suite can
+    # default to 1 (conftest) without touching the TPU default.
+    scan_unroll: int = int(os.environ.get("OPENOBJ_SCAN_UNROLL", "4"))
     # "tree" (per-leaf AdamW fusions) or "flat" (one fused update over the
     # concatenated [O, K] parameter matrix — bit-identical, see optim)
     optim_impl: str = "tree"
@@ -83,6 +86,15 @@ class TrainConfig:
     @property
     def n_rays_per_step_bg(self) -> int:
         return self.win_size_bg * self.n_samples_per_frame_bg  # 1200
+
+    # recompute the z lattice INSIDE each optimizer step (from that step's
+    # depth/state xs + a per-step key) instead of materializing the whole
+    # frame's [iters, O, rays, P] z tensor as a scan input. Statistically
+    # identical draws (different key stream); trades the z slab's HBM
+    # write + per-step transposing VMEM prefetch (the largest single copy
+    # in the frame profile) for ~77k cheap VPU normal/uniform draws per
+    # step. Measured on-chip before flipping the default.
+    z_per_step: bool = False
 
     # sample each step's rays inside the optimizer scan instead of
     # materializing the whole frame's ray batch upfront. Statistically
@@ -185,15 +197,23 @@ def _sample_batch(
     n_px: int,
     n_bins_c2s: int,
     cfg: TrainConfig,
+    scan_iters: int | None = None,
 ):
     """Draw (n_draws * n_px) training rays for every object slot at once and
     build the fixed-shape z lattice (reference get_training_samples +
     sample_3d_points, vmap.py:386-554).
 
-    TPU note: all pixel fetches are ONE flat row-gather over the object x
-    draw x pixel axes — a vmap-of-advanced-indexing formulation lowered to a
-    pathologically slow batched gather (~90 ms/frame at the room_0 envelope;
-    the flat form is ~100x faster).
+    TPU notes:
+      * all pixel fetches are ONE flat row-gather over the object x draw x
+        pixel axes — a vmap-of-advanced-indexing formulation lowered to a
+        pathologically slow batched gather (~90 ms/frame at the room_0
+        envelope; the flat form is ~100x faster);
+      * with ``scan_iters=I``, every leaf comes out SCAN-ORDERED
+        [I, O, rays/step, ...]: the tiny index tensors are transposed
+        BEFORE the big gathers, so the bulky tensors are born in the
+        layout lax.scan consumes as xs (contiguous leading-axis slices).
+        The previous dynamic-slice-per-step formulation made XLA copy
+        whole batch arrays to scratch every step (profiled ~20 ms/frame).
     """
     k_kf, k_u, k_v, k_z = jax.random.split(key, 4)
     o = kf_frames.shape[0]
@@ -217,89 +237,154 @@ def _sample_batch(
         rv * (bbox[..., 3:4] - bbox[..., 2:3]) + bbox[..., 2:3]
     ).astype(jnp.int32)
 
+    if scan_iters:
+        # reorder draw axis (o, I*win, ...) -> (I, o, win, ...); element
+        # (o, i*win + j) -> (i, o, j), exactly the rays step i consumed
+        # under the old per-step slicing
+        win = n_draws // scan_iters
+
+        def to_scan(x):
+            return x.reshape(o, scan_iters, win, *x.shape[2:]).swapaxes(0, 1)
+
+        frames, u, v = to_scan(frames), to_scan(u), to_scan(v)
+        lead = (scan_iters, o)          # [I, O, win, px, ...] from here on
+    else:
+        lead = (o,)                     # [O, D, px, ...]
+
     from openobj_tpu.core import frame_store as FS
 
-    f = frames[..., None]                           # [O, D, 1]
+    f = frames[..., None]                           # [..., win|D, 1]
     lin = ((f * h + u) * w + v).reshape(-1)         # flat pixel ids
     # ONE fused gather per pixel over the packed planes (depth | inst bits
     # | rgb bits) — random pixel fetches are latency-bound, so separately
     # issued gathers cost ~3x this (frame_store docstring)
+    px_shape = u.shape                              # [*lead, win|D, px]
     px = jnp.take(store.packed.reshape(3, -1), lin, axis=1)
     rgb = FS.unpack_rgb(px).astype(jnp.float32) / 255.0
-    depth = FS.unpack_depth(px).reshape(o, n_draws, n_px)
-    inst = FS.unpack_inst(px).reshape(o, n_draws, n_px)
+    depth = FS.unpack_depth(px).reshape(px_shape)
+    inst = FS.unpack_inst(px).reshape(px_shape)
+    obj_b = obj_inst[:, None, None]
+    if scan_iters:
+        obj_b = obj_b[None]
     state = jnp.where(
-        inst == obj_inst[:, None, None], sampling.STATE_THIS,
+        inst == obj_b, sampling.STATE_THIS,
         jnp.where(inst == -1, sampling.STATE_UNKNOWN, sampling.STATE_OTHER),
     )
 
     dirs_c = jnp.take(
         cam_dirs.reshape(-1, 3), (u * w + v).reshape(-1), axis=0
-    ).reshape(o, n_draws, n_px, 3)
-    t_wc = store.t_wc[frames]                       # [O, D, 4, 4] (row gather)
-    origins, dirs_w = sampling.origin_dirs_w(t_wc[:, :, None], dirs_c)
+    ).reshape(*px_shape, 3)
+    t_wc = store.t_wc[frames]                       # [..., 4, 4] (row gather)
+    origins, dirs_w = sampling.origin_dirs_w(t_wc[..., None, :, :], dirs_c)
 
-    z = sampling.sample_z_values(
-        k_z, depth, state, cfg.min_depth, n_bins_c2s, cfg.n_bins,
-        cfg.surface_eps, cfg.stop_eps,
-        max_bound=jnp.max(depth, axis=(1, 2), keepdims=True),  # per-object
-    )                                               # [O, D, n_px, P]
-    points = sampling.rays_to_points(
-        origins, dirs_w, z, obj_center[:, None, None, None]
-    )
+    # per-object max over ALL the frame's draws (reference vmap.py:493)
+    max_axes = (0, 2, 3) if scan_iters else (1, 2)
+    max_bound = jnp.max(depth, axis=max_axes, keepdims=True)
+    defer_z = bool(scan_iters) and cfg.z_per_step
+    if not defer_z:
+        z = sampling.sample_z_values(
+            k_z, depth, state, cfg.min_depth, n_bins_c2s, cfg.n_bins,
+            cfg.surface_eps, cfg.stop_eps, max_bound=max_bound,
+        )                                           # [..., px, P]
+    center_b = obj_center[:, None, None]
+    if scan_iters:
+        center_b = center_b[None]
 
-    R = n_draws * n_px
+    R = (win if scan_iters else n_draws) * n_px
     P = n_bins_c2s + cfg.n_bins
+    # points = origins + dirs * z - center are NOT materialized: the
+    # [.., R, P, 3] tensor is 3P x the per-ray data (92 MB/frame at the
+    # room_0 envelope of pure HBM write+read); the step reconstructs them
+    # elementwise (points_for_slice), fusing into the PE
     batch = {
-        "rgb": rgb.reshape(o, R, 3),
-        "depth": depth.reshape(o, R),
-        "state": state.reshape(o, R),
-        "z": z.reshape(o, R, P),
-        "points": points.reshape(o, R, P, 3),
+        "rgb": rgb.reshape(*lead, R, 3),
+        "depth": depth.reshape(*lead, R),
+        "state": state.reshape(*lead, R),
+        "origins": (origins - center_b).reshape(*lead, R, 3),
+        "dirs_w": dirs_w.reshape(*lead, R, 3),
     }
+    if defer_z:
+        # z recomputed inside each step (cfg.z_per_step): per-step keys ride
+        # the xs; max_bound is a per-frame constant the caller closes over
+        batch["zkey"] = jax.random.split(k_z, scan_iters)      # [I] keys
+        batch["max_bound"] = jnp.broadcast_to(
+            max_bound.reshape(1, o, 1), (scan_iters, o, 1)
+        )
+    else:
+        batch["z"] = z.reshape(*lead, R, P)
     if cfg.part_mode and store.partfeat is not None:
         hp, wp = store.partfeat.shape[1], store.partfeat.shape[2]
         lin_pf = ((f * hp + u // cfg.part_down) * wp + v // cfg.part_down)
-        pf = jnp.take(
-            store.partfeat.reshape(-1, store.partfeat.shape[-1]),
-            lin_pf.reshape(-1), axis=0,
-        )
-        # stays in the store's compact dtype (int8 unit-norm by default):
-        # the [O, R_total, 512] batch is by far the largest sampled tensor
-        # (1.5 GB/frame at the room_0 envelope in f32); the loss upcasts
-        # the tiny per-step slice, and the cosine normalizes away the
-        # int8 scale (frame_store docstring)
-        batch["partfeat"] = pf.reshape(o, R, -1)
+        # DEFERRED gather: only the flat row indices go into the batch; the
+        # per-step loss gathers its own 120-ray slice of the int8 store
+        # (gather_partfeat). Materializing the whole [O, R_total, 512]
+        # feature batch upfront was the single largest sampled tensor
+        # (393 MB int8 at the room_0 envelope) and profiled ~10 ms/frame of
+        # pure HBM write+read before the per-step slices even started.
+        batch["partfeat_idx"] = lin_pf.reshape(*lead, R).astype(jnp.int32)
     return batch
 
 
+def resolve_z(sl: dict, cfg: TrainConfig, is_bg: bool) -> dict:
+    """Materialize a step's z lattice from its deferred per-step key
+    (cfg.z_per_step): same 3-mode law as the upfront batch, drawn fresh
+    from the step's xs key instead of sliced from a precomputed slab."""
+    key = sl.pop("zkey", None)
+    if key is None:
+        return sl
+    mb = sl.pop("max_bound")
+    n_c2s = cfg.n_bins_cam2surface_bg if is_bg else cfg.n_bins_cam2surface
+    sl["z"] = sampling.sample_z_values(
+        key, sl["depth"], sl["state"], cfg.min_depth, n_c2s, cfg.n_bins,
+        cfg.surface_eps, cfg.stop_eps, max_bound=mb,
+    )
+    return sl
+
+
+def gather_partfeat(sl: dict, partfeat: jnp.ndarray | None) -> dict:
+    """Resolve a slice's deferred part-feature indices against the store
+    (int8 unit-norm by default — the cosine loss upcasts and normalizes, so
+    the compact dtype is exactly transparent; frame_store docstring)."""
+    idx = sl.pop("partfeat_idx", None)
+    if idx is not None and partfeat is not None:
+        c = partfeat.shape[-1]
+        pf = jnp.take(partfeat.reshape(-1, c), idx.reshape(-1), axis=0)
+        sl["partfeat"] = pf.reshape(*idx.shape, c)
+    return sl
+
+
 def sample_fg_batch(key, store, cam_dirs, tables, cfg: TrainConfig,
-                    n_iters: int | None = None):
+                    n_iters: int | None = None, scan_order: bool = False):
     """All object slots at once; tables leaves: [O, ...]. ``n_iters``
     overrides how many optimizer steps' worth of rays to draw (1 for the
-    per-step sampling path)."""
-    n_draws = (n_iters if n_iters is not None
-               else cfg.n_iters_per_frame) * cfg.win_size
+    per-step sampling path). ``scan_order`` returns leaves shaped
+    [iters, O, rays/step, ...] for direct use as lax.scan xs."""
+    iters = n_iters if n_iters is not None else cfg.n_iters_per_frame
     return _sample_batch(
         key, store, cam_dirs, tables["kf_frames"], tables["kf_bbox"],
         tables["n_kf"], tables["latest2"], tables["obj_inst"],
         tables["obj_center"],
-        n_draws, cfg.n_samples_per_frame, cfg.n_bins_cam2surface, cfg,
+        iters * cfg.win_size, cfg.n_samples_per_frame,
+        cfg.n_bins_cam2surface, cfg,
+        scan_iters=iters if scan_order else None,
     )
 
 
 def sample_bg_batch(key, store, cam_dirs, bg_tables, cfg: TrainConfig,
-                    n_iters: int | None = None):
-    n_draws = (n_iters if n_iters is not None
-               else cfg.n_iters_per_frame) * cfg.win_size_bg
+                    n_iters: int | None = None, scan_order: bool = False):
+    iters = n_iters if n_iters is not None else cfg.n_iters_per_frame
     batch = _sample_batch(
         key, store, cam_dirs,
         bg_tables["kf_frames"][None], bg_tables["kf_bbox"][None],
         bg_tables["n_kf"][None], bg_tables["latest2"][None],
         jnp.zeros((1,), jnp.int32), jnp.zeros((1, 3), jnp.float32),
-        n_draws, cfg.n_samples_per_frame_bg, cfg.n_bins_cam2surface_bg, cfg,
+        iters * cfg.win_size_bg, cfg.n_samples_per_frame_bg,
+        cfg.n_bins_cam2surface_bg, cfg,
+        scan_iters=iters if scan_order else None,
     )
-    return {k: x[0] for k, x in batch.items()}
+    ax = 1 if scan_order else 0
+    return {k: x if k == "zkey" else jnp.squeeze(x, axis=ax)
+            for k, x in batch.items()}
 
 
 # --------------------------------------------------------------------------- #
@@ -330,8 +415,13 @@ def _loss_for_slice(params, batch, active, cfg: TrainConfig, is_bg: bool):
                 p, x, max_deg=cfg.max_deg, do_clip=cfg.part_mode,
                 clip_hidden_only=True, compute_dtype=cfg.compute_dtype)
 
+    # points reconstructed elementwise from the per-ray data (never
+    # materialized in the batch — _sample_batch docstring); center was
+    # pre-subtracted from origins
+    pts = sampling.rays_to_points(batch["origins"], batch["dirs_w"], batch["z"])
+
     if is_bg:
-        a, c, f = apply_single(params, batch["points"])
+        a, c, f = apply_single(params, pts)
         a, c = a[None], c[None]
         f = f[None] if f is not None else None
         gt_rgb, gt_d = batch["rgb"][None], batch["depth"][None]
@@ -340,7 +430,7 @@ def _loss_for_slice(params, batch, active, cfg: TrainConfig, is_bg: bool):
         gt_pf = batch.get("partfeat")
         gt_pf = gt_pf[None] if gt_pf is not None else None
     else:
-        a, c, f = apply_stacked(params, batch["points"])
+        a, c, f = apply_stacked(params, pts)
         gt_rgb, gt_d = batch["rgb"], batch["depth"]
         state, z = batch["state"], batch["z"]
         act = active
@@ -357,14 +447,6 @@ def _loss_for_slice(params, batch, active, cfg: TrainConfig, is_bg: bool):
         partfeat_scaling=cfg.partfeat_scaling,
     )
     return total, per_obj
-
-
-def _slice_batch(batch: dict, start: int, size: int, obj_axis: bool) -> dict:
-    ax = 1 if obj_axis else 0
-    return {
-        k: jax.lax.dynamic_slice_in_dim(v, start, size, axis=ax)
-        for k, v in batch.items()
-    }
 
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
@@ -385,34 +467,11 @@ def train_frame(
     k_fg, k_bg, k_scan = jax.random.split(key, 3)
     active = fg_tables["active"]
     do_bg = cfg.do_bg and state.bg_params is not None
-    fg_batch = bg_batch = None
-    if not cfg.sample_per_step:
-        fg_batch = sample_fg_batch(k_fg, store, cam_dirs, fg_tables, cfg)
-        if do_bg:
-            bg_batch = sample_bg_batch(k_bg, store, cam_dirs, bg_tables, cfg)
 
-    rps, rps_bg = cfg.n_rays_per_step, cfg.n_rays_per_step_bg
-
-    def opt_step(carry, it):
-        st = carry
-        if cfg.sample_per_step:
-            k_step_fg, k_step_bg = jax.random.split(
-                jax.random.fold_in(k_scan, it)
-            )
-            fg_sl = sample_fg_batch(
-                k_step_fg, store, cam_dirs, fg_tables, cfg, n_iters=1
-            )
-            bg_sl = (
-                sample_bg_batch(
-                    k_step_bg, store, cam_dirs, bg_tables, cfg, n_iters=1
-                ) if do_bg else None
-            )
-        else:
-            fg_sl = _slice_batch(fg_batch, it * rps, rps, obj_axis=True)
-            bg_sl = (
-                _slice_batch(bg_batch, it * rps_bg, rps_bg, obj_axis=False)
-                if bg_batch is not None else None
-            )
+    def run_step(st, fg_sl, bg_sl):
+        fg_sl = resolve_z(dict(fg_sl), cfg, is_bg=False)
+        if bg_sl is not None:
+            bg_sl = resolve_z(dict(bg_sl), cfg, is_bg=True)
         # ray-level data parallelism: under a ('data', 'object') mesh
         # (jax.set_mesh + parallel.sharding.make_mesh_2d) each step's ray
         # slice shards over 'data'; grad psums follow from the shardings.
@@ -421,6 +480,10 @@ def train_frame(
         if bg_sl is not None:
             bg_sl = {k: sharding.maybe_constrain(v, "data")
                      for k, v in bg_sl.items()}
+        if cfg.part_mode:
+            fg_sl = gather_partfeat(dict(fg_sl), store.partfeat)
+            if bg_sl is not None:
+                bg_sl = gather_partfeat(dict(bg_sl), store.partfeat)
 
         def loss_fn(ps):
             total, _ = _loss_for_slice(ps["fg"], fg_sl, active, cfg, is_bg=False)
@@ -448,8 +511,43 @@ def train_frame(
             )
         return TrainState(fg_p, fg_o, bg_p, bg_o), loss
 
+    if cfg.sample_per_step:
+        def opt_step(st, it):
+            k_step_fg, k_step_bg = jax.random.split(
+                jax.random.fold_in(k_scan, it)
+            )
+            fg_sl = sample_fg_batch(
+                k_step_fg, store, cam_dirs, fg_tables, cfg, n_iters=1
+            )
+            bg_sl = (
+                sample_bg_batch(
+                    k_step_bg, store, cam_dirs, bg_tables, cfg, n_iters=1
+                ) if do_bg else None
+            )
+            return run_step(st, fg_sl, bg_sl)
+
+        state, losses_per_iter = jax.lax.scan(
+            opt_step, state, jnp.arange(cfg.n_iters_per_frame),
+            unroll=cfg.scan_unroll,
+        )
+        return state, losses_per_iter
+
+    # whole-frame batches, SCAN-ORDERED [iters, ...]: lax.scan consumes them
+    # as xs with contiguous leading-axis slices (no per-step dynamic-slice
+    # scratch copies — _sample_batch docstring)
+    fg_batch = sample_fg_batch(
+        k_fg, store, cam_dirs, fg_tables, cfg, scan_order=True
+    )
+    bg_batch = (
+        sample_bg_batch(k_bg, store, cam_dirs, bg_tables, cfg, scan_order=True)
+        if do_bg else {}
+    )
+
+    def opt_step(st, xs):
+        fg_sl, bg_sl = xs
+        return run_step(st, fg_sl, bg_sl if do_bg else None)
+
     state, losses_per_iter = jax.lax.scan(
-        opt_step, state, jnp.arange(cfg.n_iters_per_frame),
-        unroll=cfg.scan_unroll,
+        opt_step, state, (fg_batch, bg_batch), unroll=cfg.scan_unroll,
     )
     return state, losses_per_iter

@@ -28,8 +28,50 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from openobj_tpu.ops import mlp, rendering
+from openobj_tpu.ops import rendering
 from openobj_tpu.ops.sampling import STATE_OTHER, STATE_THIS, STATE_UNKNOWN  # noqa: F401
+
+
+def factored_cosine_loss(
+    head: dict,
+    hidden: jnp.ndarray,      # [O, R, h] composited clip hidden
+    opacity: jnp.ndarray,     # [O, R]
+    gt: jnp.ndarray,          # [O, R, C] (int8/bf16 store dtype ok)
+) -> jnp.ndarray:
+    """1 - cos(hidden @ W + opacity*b, gt) WITHOUT materializing the
+    [O, R, C] projected feature (C = 512).
+
+    With h' = [hidden, opacity] and W' = [W; b] the projection is h'W', so
+        pred.gt   = h'.(gt W'^T)            (one [O,R,C] x [O,h+1,C] GEMM
+                                             with a SMALL [O,R,h+1] output)
+        |pred|^2  = h' (W'W'^T) h'          (Gram G is [O,h+1,h+1] — tiny)
+        |gt|^2    = sum(gt^2)               (one pass over the compact gt)
+    identical math to projecting then render_loss("cos") (eps placement
+    included), but the f32 [O,R,512] prediction and its gradient never
+    exist — measured ~0.30 ms/step of the part term at the room_0 envelope.
+    The backward to W/b flows through gtW'^T and G; gt is constant so no
+    [O,R,C] gradient materializes either.
+    """
+    w, b = head["out_clip"]["w"], head["out_clip"]["b"]
+    gtc = gt.astype(jnp.float32)
+    hp = jnp.concatenate([hidden, opacity[..., None]], axis=-1)  # [O,R,h+1]
+    if w.ndim == 3:   # stacked objects: w [O, h, C], b [O, C]
+        wb = jnp.concatenate([w, b[:, None, :]], axis=1)         # [O,h+1,C]
+        t = jnp.einsum("orc,ohc->orh", gtc, wb)
+        g = jnp.einsum("ohc,okc->ohk", wb, wb)
+        pn2 = jnp.einsum("orh,ohk,ork->or", hp, g, hp)
+    else:             # single model: w [h, C], b [C]
+        wb = jnp.concatenate([w, b[None, :]], axis=0)            # [h+1,C]
+        t = jnp.einsum("orc,hc->orh", gtc, wb)
+        g = wb @ wb.T
+        pn2 = jnp.einsum("orh,hk,ork->or", hp, g, hp)
+    num = jnp.sum(hp * t, axis=-1)
+    gn2 = jnp.sum(gtc * gtc, axis=-1)
+    # the quad form can go microscopically negative from fp cancellation
+    # where sum(pred^2) would be ~0 (all-transparent rays); clamp so the
+    # sqrt stays NaN-free exactly like the sum-of-squares form
+    den = jnp.sqrt(jnp.maximum(pn2, 0.0) + 1e-12) * jnp.sqrt(gn2 + 1e-12)
+    return 1.0 - num / den
 
 
 def step_batch_loss(
@@ -77,24 +119,26 @@ def step_batch_loss(
 
     per_obj = loss_depth + loss_col * color_scaling + loss_opacity * opacity_scaling
 
-    render_partfeat = None
-    if gt_partfeat is not None:
-        gt_partfeat = gt_partfeat.astype(jnp.float32)  # bf16 store -> f32 math
+    loss_pf_raw = None
     if gt_partfeat is not None and pred_partfeat_hidden is not None:
-        # Fast path: composite the h-wide clip hidden, then project once per
-        # ray — exact because the clip head is linear (ops.mlp.clip_project).
+        # Fast path: composite the h-wide clip hidden, then evaluate the
+        # cosine against gt IN HIDDEN SPACE (factored_cosine_loss) — exact
+        # because the clip head is linear; the [.., R, 512] projected
+        # feature is never materialized.
         render_hidden = rendering.render(
             termination[..., None], pred_partfeat_hidden, axis=-2
         )
-        render_partfeat = mlp.clip_project(
-            partfeat_head, render_hidden, opacity=render_opacity
+        loss_pf_raw = factored_cosine_loss(
+            partfeat_head, render_hidden, render_opacity, gt_partfeat
         )
     elif gt_partfeat is not None and pred_partfeat is not None:
         render_partfeat = rendering.render(
             termination[..., None], pred_partfeat, axis=-2
         )
-    if render_partfeat is not None:
-        loss_pf_raw = rendering.render_loss(render_partfeat, gt_partfeat, loss="cos")
+        loss_pf_raw = rendering.render_loss(
+            render_partfeat, gt_partfeat.astype(jnp.float32), loss="cos"
+        )
+    if loss_pf_raw is not None:
         loss_pf = rendering.reduce_masked_loss(loss_pf_raw * mask_so, mask_so)
         per_obj = per_obj + loss_pf * partfeat_scaling
 

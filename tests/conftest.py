@@ -14,10 +14,27 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# default scan unroll 1 under tests: unroll is numerics-invariant (pure
+# compile-time loop duplication) but multiplies XLA:CPU compile time ~4x
+# on this 1-core box; TrainConfig reads the env at class-definition time,
+# so it must be set before openobj_tpu imports (kept overridable for any
+# test that wants to pin a specific unroll).
+os.environ.setdefault("OPENOBJ_SCAN_UNROLL", "1")
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")  # never let tests ride the TPU tunnel
 jax.config.update("jax_enable_x64", False)
+
+# persistent compilation cache: the suite's cost is dominated by XLA:CPU
+# compiles of the same train/render programs across modules (and across
+# runs — the per-module clear_caches below frees executables but not this
+# on-disk cache). Verified to round-trip on the CPU backend.
+_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".cache", "jax")
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

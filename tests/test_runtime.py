@@ -527,6 +527,59 @@ class TestSamplePerStep:
             np.asarray(jax.tree.leaves(state.fg_params)[0]), np.asarray(p_before)
         )
 
+    def test_z_per_step_trains(self, key):
+        """cfg.z_per_step recomputes the z lattice inside each scan step
+        from per-step keys — statistically the same 3-mode law, so a short
+        train must stay finite and land near the upfront-z path's loss."""
+        from openobj_tpu.core import trainer as T
+        from openobj_tpu.core.frame_store import append_frame, init_frame_store
+        from openobj_tpu.core.scene import Camera
+
+        cam = Camera(width=16, height=12, fx=10.0, fy=10.0, cx=8.0, cy=6.0)
+        rng = np.random.default_rng(0)
+        finals = {}
+        for zps in (False, True):
+            cfg = T.TrainConfig(
+                n_iters_per_frame=20, win_size=2, n_samples_per_frame=6,
+                win_size_bg=2, n_samples_per_frame_bg=8,
+                hidden=8, hidden_bg=8, clip_size=4, part_mode=True,
+                part_down=4, scan_unroll=1, z_per_step=zps,
+            )
+            state = T.init_train_state(key, cfg, n_slots=4)
+            store = init_frame_store(2, 12, 16, part_feat_dim=4, part_down=4)
+            store, _ = append_frame(
+                store, rng.integers(0, 255, (12, 16, 3)).astype(np.uint8),
+                rng.uniform(0.5, 2.0, (12, 16)).astype(np.float32),
+                rng.integers(-1, 3, (12, 16)).astype(np.int32),
+                np.eye(4, dtype=np.float32),
+                partfeat=rng.normal(size=(3, 4, 4)).astype(np.float32),
+            )
+            fg = {
+                "kf_frames": jnp.zeros((4, 2), jnp.int32),
+                "kf_bbox": jnp.tile(
+                    jnp.asarray([0, 12, 0, 16], jnp.float32), (4, 2, 1)
+                ),
+                "n_kf": jnp.ones((4,), jnp.int32),
+                "latest2": jnp.zeros((4, 2), jnp.int32),
+                "active": jnp.asarray([True, True, False, False]),
+                "obj_inst": jnp.arange(1, 5, dtype=jnp.int32),
+                "obj_center": jnp.zeros((4, 3), jnp.float32),
+            }
+            bg = {"kf_frames": fg["kf_frames"][0], "kf_bbox": fg["kf_bbox"][0],
+                  "n_kf": jnp.asarray(1, jnp.int32),
+                  "latest2": fg["latest2"][0]}
+            _, losses = T.train_frame(
+                state, store, cam.ray_dirs(), fg, bg, jax.random.PRNGKey(1),
+                cfg,
+            )
+            L = np.asarray(losses)
+            assert np.isfinite(L).all()
+            finals[zps] = float(L[-5:].mean())
+        # same law, same data, same init: trailing losses agree loosely
+        assert abs(finals[True] - finals[False]) < 0.5 * max(
+            finals[False], 1.0
+        )
+
 
 class TestPartFeatureDistillation:
     def test_field_learns_part_features(self, key):
