@@ -61,6 +61,29 @@ def evaluate_semantic_maps(pred_maps: list[np.ndarray],
     return miou_from_confusion(conf)
 
 
+def evaluate_instance_maps(pred_maps: list[np.ndarray],
+                           gt_maps: list[np.ndarray],
+                           ignore_ids=(1, 2, 3)):
+    """Instance-level agreement: per-id IoU over every positive instance id
+    present in the GT (the association pipeline's OWN global ids appear in
+    both the instance_our GT images and the renders' inst_*.png, so this
+    needs no matching step). The reserved wall/floor/ceiling ids 1/2/3
+    (mask_graph.py:854-855) render through the background model as id 0,
+    so they are ignored by default. Returns {inst_miou, per_instance_iou}."""
+    inter: dict[int, float] = {}
+    union: dict[int, float] = {}
+    for p, g in zip(pred_maps, gt_maps):
+        ids = np.unique(g)
+        ids = ids[(ids > 0) & ~np.isin(ids, ignore_ids)]
+        for i in ids:
+            pi, gi = p == i, g == i
+            inter[i] = inter.get(i, 0.0) + float((pi & gi).sum())
+            union[i] = union.get(i, 0.0) + float((pi | gi).sum())
+    per = {int(i): inter[i] / max(union[i], 1.0) for i in inter}
+    miou = float(np.mean(list(per.values()))) if per else 0.0
+    return {"inst_miou": miou, "per_instance_iou": per}
+
+
 def evaluate_renders(pred_rgbs, gt_rgbs, pred_depths=None, gt_depths=None,
                      masks=None):
     """Aggregate PSNR (and depth L1) over a set of rendered frames."""
@@ -69,11 +92,16 @@ def evaluate_renders(pred_rgbs, gt_rgbs, pred_depths=None, gt_depths=None,
         m = masks[i] if masks is not None else None
         ps.append(psnr(np.asarray(p) / 255.0, np.asarray(g) / 255.0, m))
         if pred_depths is not None:
-            dm = (np.asarray(gt_depths[i]) > 0)
+            # depth L1 where BOTH sides have depth: the render's depth
+            # buffer intentionally covers foreground objects only (bg ids
+            # never write z, reference train.py:592-594), so pred==0
+            # pixels are out-of-protocol, not errors
+            dm = (np.asarray(gt_depths[i]) > 0) & (np.asarray(pred_depths[i]) > 0)
             if m is not None:
                 dm &= m
-            dl.append(depth_l1(np.asarray(pred_depths[i]),
-                               np.asarray(gt_depths[i]), dm))
+            if dm.any():
+                dl.append(depth_l1(np.asarray(pred_depths[i]),
+                                   np.asarray(gt_depths[i]), dm))
     out = {"psnr": float(np.mean(ps))}
     if dl:
         out["depth_l1"] = float(np.mean(dl))
@@ -87,10 +115,17 @@ def evaluate_renders(pred_rgbs, gt_rgbs, pred_depths=None, gt_depths=None,
 
 def evaluate_run(render_dir: str, gt_rgb_dir: str, gt_depth_dir: str | None,
                  gt_semantic_dir: str | None, n_classes: int,
-                 depth_scale: float = 1e-3):
+                 depth_scale: float = 1e-3, sem_stride: int = 1,
+                 gt_inst_dir: str | None = None):
     """Score the train CLI's render artifacts (rgb_<i>.png, depth_<i>.png,
     maskid_<i>.png — the reference's mIoU-eval convention, train.py:591-611)
-    against a ground-truth directory. Returns {psnr, depth_l1?, miou?...}."""
+    against a ground-truth directory. Returns {psnr, depth_l1?, miou?...}.
+
+    sem_stride: GT semantic/instance files are indexed i // sem_stride (the
+    association pipeline numbers its class_our/instance_our artifacts by
+    ITS stride-10 index, reference dataset.py:82 — pass 10 for the standard
+    Replica/ScanNet layout). gt_inst_dir: semantic_instance_<i>.png GT adds
+    instance-level IoU over the renders' inst_*.png."""
     import glob
     import os
     import re
@@ -104,6 +139,7 @@ def evaluate_run(render_dir: str, gt_rgb_dir: str, gt_depth_dir: str | None,
     if not frames:
         raise FileNotFoundError(f"no rgb_<i>.png renders in {render_dir}")
     pred_rgbs, gt_rgbs, pred_d, gt_d, pred_sem, gt_sem = [], [], [], [], [], []
+    pred_inst, gt_inst = [], []
     for i in frames:
         pred_rgbs.append(cv2.imread(os.path.join(render_dir, f"rgb_{i}.png")))
         gt_rgbs.append(cv2.imread(os.path.join(gt_rgb_dir, f"rgb_{i}.png")))
@@ -115,10 +151,24 @@ def evaluate_run(render_dir: str, gt_rgb_dir: str, gt_depth_dir: str | None,
         if gt_semantic_dir:
             ps = cv2.imread(os.path.join(render_dir, f"maskid_{i}.png"), -1)
             gs = cv2.imread(
-                os.path.join(gt_semantic_dir, f"semantic_class_{i}.png"), -1
+                os.path.join(
+                    gt_semantic_dir,
+                    f"semantic_class_{i // sem_stride}.png",
+                ), -1,
             )
             pred_sem.append(ps.astype(np.int64))
             gt_sem.append(gs.astype(np.int64))
+        if gt_inst_dir:
+            pi = cv2.imread(os.path.join(render_dir, f"inst_{i}.png"), -1)
+            gi = cv2.imread(
+                os.path.join(
+                    gt_inst_dir,
+                    f"semantic_instance_{i // sem_stride}.png",
+                ), -1,
+            )
+            if pi is not None and gi is not None:
+                pred_inst.append(pi.astype(np.int64))
+                gt_inst.append(gi.astype(np.int64))
     out = evaluate_renders(
         pred_rgbs, gt_rgbs,
         pred_depths=pred_d or None, gt_depths=gt_d or None,
@@ -126,6 +176,10 @@ def evaluate_run(render_dir: str, gt_rgb_dir: str, gt_depth_dir: str | None,
     if pred_sem:
         out.update(evaluate_semantic_maps(pred_sem, gt_sem, n_classes))
         out.pop("per_class_iou", None)
+    if pred_inst:
+        out["inst_miou"] = evaluate_instance_maps(pred_inst, gt_inst)[
+            "inst_miou"
+        ]
     return out
 
 
@@ -140,11 +194,19 @@ def _main(argv=None):
     ap.add_argument("--gt-depth", default=None)
     ap.add_argument("--gt-semantic", default=None,
                     help="dir of semantic_class_<i>.png GT label images")
+    ap.add_argument("--gt-instance", default=None,
+                    help="dir of semantic_instance_<i>.png GT (instance IoU)")
     ap.add_argument("--n-classes", type=int, default=102)
     ap.add_argument("--depth-scale", type=float, default=1e-3)
+    ap.add_argument("--sem-stride", type=int, default=1,
+                    help="GT semantic/instance files indexed i//stride "
+                         "(10 for the standard class_our/instance_our "
+                         "association artifacts)")
     args = ap.parse_args(argv)
     out = evaluate_run(args.render_dir, args.gt_rgb, args.gt_depth,
-                       args.gt_semantic, args.n_classes, args.depth_scale)
+                       args.gt_semantic, args.n_classes, args.depth_scale,
+                       sem_stride=args.sem_stride,
+                       gt_inst_dir=args.gt_instance)
     print(json.dumps({k: round(float(v), 4) for k, v in out.items()}))
 
 

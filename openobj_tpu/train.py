@@ -248,7 +248,12 @@ def render_dataset(mapper, dataset, log_dir: str, mapping_class: dict,
         cv2.imwrite(os.path.join(out_dir, f"depth_{fid}.png"),
                     (depth_img * 1000).astype(np.uint16))
         cv2.imwrite(os.path.join(out_dir, f"maskid_{fid}.png"),
-                    maskid.astype(np.uint8))
+                    maskid.astype(np.uint16))
+        # global instance ids (beyond reference: enables instance-level
+        # IoU against instance_our GT, since the ids are the association
+        # pipeline's own)
+        cv2.imwrite(os.path.join(out_dir, f"inst_{fid}.png"),
+                    np.maximum(instid, 0).astype(np.uint16))
 
 
 def export_meshes(mapper, log_dir: str, grid_dim: int, live_voxel_size: float,

@@ -29,6 +29,8 @@ import json
 import os
 import sys
 
+import numpy as np
+
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
@@ -61,6 +63,26 @@ def run_one_scene(cfg_path: str, scene: str, args) -> dict:
         timing = os.path.join(logdir, "timing.json")
         if os.path.exists(timing):
             entry["timing"] = json.load(open(timing))
+        render_dir = os.path.join(logdir, "render")
+        if args.eval and os.path.isdir(render_dir):
+            from openobj_tpu.eval import evaluate_run
+
+            root = json.load(open(cfg_path))["dataset"]["path"]
+            gt_sem = os.path.join(root, "class_our")
+            gt_inst = os.path.join(root, "instance_our")
+            entry["eval"] = {
+                k: (round(float(v), 4) if np.isscalar(v) else v)
+                for k, v in evaluate_run(
+                    render_dir,
+                    os.path.join(root, "rgb"),
+                    os.path.join(root, "depth"),
+                    gt_sem if os.path.isdir(gt_sem) else None,
+                    args.n_classes,
+                    sem_stride=10,  # class_our/instance_our assoc stride
+                    gt_inst_dir=gt_inst if os.path.isdir(gt_inst) else None,
+                ).items()
+            }
+            print(f"{scene} eval: {entry['eval']}")
     except Exception as e:  # keep going across scenes
         entry = {"status": f"failed: {e}"}
         print(f"{scene} FAILED: {e}")
@@ -78,6 +100,11 @@ def main(argv=None):
     ap.add_argument("--class-features", default=None)
     ap.add_argument("--max-frames", type=int, default=None)
     ap.add_argument("--skip-export", action="store_true")
+    ap.add_argument("--eval", action="store_true",
+                    help="score renders vs the dataset's rgb/depth/"
+                         "class_our/instance_our GT (PSNR, depth L1, "
+                         "zero-shot mIoU, instance IoU)")
+    ap.add_argument("--n-classes", type=int, default=102)
     ap.add_argument("--parallel", type=int, default=None,
                     help="train N scenes concurrently on N device groups")
     ap.add_argument("--scene-shard", default=None,

@@ -418,16 +418,24 @@ class TestRunScenesDriver:
         os.makedirs(cfg_dir)
         cfg_path = _config_json(str(scene_root), tmp_path)
         cfg = json.load(open(cfg_path))
-        cfg["render"]["iters_per_frame"] = 5
-        cfg["vis"]["if_render"] = 0
+        cfg["render"]["iters_per_frame"] = 15
+        cfg["vis"]["if_render"] = 1
         json.dump(cfg, open(cfg_dir / "sceneA.json", "w"))
 
         out = tmp_path / "runs"
-        run_scenes.main([str(cfg_dir), "--out", str(out)])
+        run_scenes.main([str(cfg_dir), "--out", str(out), "--eval",
+                         "--n-classes", "8"])
         summary = json.load(open(out / "summary.json"))
         assert summary["sceneA"]["status"] == "ok"
         assert summary["sceneA"]["objects"] >= 1
         assert os.path.exists(out / "sceneA" / "map_vis.pkl.gz")
+        # full-pipeline scorecard: train -> render -> eval vs the on-disk
+        # GT in one command (the real-dataset protocol on the fixture)
+        ev = summary["sceneA"]["eval"]
+        assert {"psnr", "depth_l1", "miou", "inst_miou"} <= set(ev)
+        assert ev["psnr"] > 15          # synthetic scene reconstructs
+        assert ev["depth_l1"] < 1.5     # 2 assoc frames, 15 iters: coarse
+        assert ev["inst_miou"] > 0.3    # objects land where GT says
 
 
 class TestResume:
