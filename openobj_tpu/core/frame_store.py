@@ -9,11 +9,16 @@ bboxes, and per-ray object state is derived at gather time from the global
 instance map (state = this(1) / unknown(2) / other(0), train.py:203-205).
 
 Storage layout: depth, instance id, and RGB are PACKED into one
-[3, F, H, W] float32 array (plane 0 = depth; 1 = the int32 instance id
-bit-cast; 2 = the 3 RGB bytes bit-cast). Training sampling draws random
-pixels, so the per-pixel fetch is a latency-bound random gather — packing
-turns three (four with part features) separately-issued gathers into one
-fused 3-plane fetch (profiled ~22 → ~8 ms/frame at the room_0 envelope).
+[3, F, H, W] uint32 array (plane 0 = the f32 depth bit-cast; 1 = the
+int32 instance id; 2 = the 3 RGB bytes bit-cast). Training sampling draws
+random pixels, so the per-pixel fetch is a latency-bound random gather —
+packing turns three (four with part features) separately-issued gathers
+into one fused 3-plane fetch (profiled ~22 → ~8 ms/frame at the room_0
+envelope). The carrier dtype is an INTEGER on purpose: inst=-1
+(0xFFFFFFFF) and many RGB byte patterns are NaN payloads under a float32
+carrier, and nothing guarantees XLA preserves NaN payload bits through
+stack/gather/dynamic-update on every backend — integer moves are always
+bit-exact. (Same 4-byte lanes either way; gather perf is identical.)
 The PLANAR [3, ...] axis order matters: it matches the layout XLA picks
 for the gather operand — a [..., 3]-row layout was silently re-laid-out
 to planar INSIDE every train_frame (~9 ms/frame of pure copy).
@@ -39,23 +44,25 @@ import jax.numpy as jnp
 
 
 def pack_pixels(depth: jnp.ndarray, inst: jnp.ndarray, rgb: jnp.ndarray):
-    """(depth f32 [..., H, W], inst i32, rgb u8 [..., 3]) -> packed f32
-    [3, ..., H, W] (planar: depth | inst bits | rgb bits)."""
+    """(depth f32 [..., H, W], inst i32, rgb u8 [..., 3]) -> packed u32
+    [3, ..., H, W] (planar: depth bits | inst | rgb bytes)."""
     rgb4 = jnp.concatenate(
         [rgb, jnp.zeros((*rgb.shape[:-1], 1), jnp.uint8)], axis=-1
     )
     return jnp.stack(
         [
-            depth.astype(jnp.float32),
-            jax.lax.bitcast_convert_type(inst.astype(jnp.int32), jnp.float32),
-            jax.lax.bitcast_convert_type(rgb4, jnp.float32),
+            jax.lax.bitcast_convert_type(
+                depth.astype(jnp.float32), jnp.uint32
+            ),
+            jax.lax.bitcast_convert_type(inst.astype(jnp.int32), jnp.uint32),
+            jax.lax.bitcast_convert_type(rgb4, jnp.uint32),
         ],
         axis=0,
     )
 
 
 def unpack_depth(packed: jnp.ndarray) -> jnp.ndarray:
-    return packed[0]
+    return jax.lax.bitcast_convert_type(packed[0], jnp.float32)
 
 
 def unpack_inst(packed: jnp.ndarray) -> jnp.ndarray:
@@ -69,7 +76,7 @@ def unpack_rgb(packed: jnp.ndarray) -> jnp.ndarray:
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class FrameStore:
-    packed: jnp.ndarray   # [3, F, H, W] float32 (depth | inst bits | rgb bits)
+    packed: jnp.ndarray   # [3, F, H, W] uint32 (depth bits | inst | rgb bytes)
     t_wc: jnp.ndarray     # [F, 4, 4] float32 camera-to-world
     partfeat: jnp.ndarray | None  # [F, H//down, W//down, C] bfloat16, or None
     n_frames: jnp.ndarray  # [] int32 — frames written so far

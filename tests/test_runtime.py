@@ -52,6 +52,45 @@ class TestFrameStore:
         with pytest.raises(ValueError):
             append_frame(s, rgb, depth, inst, np.eye(4))
 
+    def test_hazard_bit_patterns_roundtrip(self):
+        """The packed carrier is uint32 BECAUSE these patterns are NaN
+        payloads under a float32 carrier (inst=-1 is 0xFFFFFFFF; 0xFF RGB
+        bytes form sNaN/qNaN payloads) and XLA makes no guarantee about
+        NaN payload preservation through stack/gather/dynamic-update.
+        Round-trip every hazard class bit-exactly, through BOTH the full
+        decode views and the trainer's random-pixel gather path."""
+        import jax as _jax
+        from openobj_tpu.core import frame_store as FS
+
+        h, w = 4, 6
+        rgb = np.full((h, w, 3), 0xFF, np.uint8)      # all-ones bytes
+        rgb[0, 0] = [0, 0, 0]
+        rgb[1, 1] = [0x7F, 0xC0, 0xFF]               # qNaN-ish pattern
+        depth = np.full((h, w), np.nan, np.float32)   # worst-case depth
+        depth[0, :] = 1.5
+        inst = np.full((h, w), -1, np.int32)          # 0xFFFFFFFF
+        inst[2, :] = np.int32(0x7F800001)             # sNaN payload as id
+        s = init_frame_store(1, h, w)
+        s, _ = append_frame(s, rgb, depth, inst, np.eye(4))
+        assert s.packed.dtype == jnp.uint32
+        np.testing.assert_array_equal(np.asarray(s.rgb[0]), rgb)
+        np.testing.assert_array_equal(np.asarray(s.inst[0]), inst)
+        np.testing.assert_array_equal(
+            np.asarray(s.depth[0]).view(np.uint32),
+            depth.view(np.uint32),
+        )
+        # the trainer's flat row-gather (jnp.take over the planes)
+        lin = jnp.arange(h * w)
+        px = _jax.jit(
+            lambda p: jnp.take(p.reshape(3, -1), lin, axis=1)
+        )(s.packed)
+        np.testing.assert_array_equal(
+            np.asarray(FS.unpack_inst(px)).reshape(h, w), inst
+        )
+        np.testing.assert_array_equal(
+            np.asarray(FS.unpack_rgb(px)).reshape(h, w, 3), rgb
+        )
+
     def test_partfeat_store(self):
         """Default int8 store keeps unit-DIRECTION exactly (the cosine loss
         normalizes, so only the direction matters — frame_store docstring)."""
