@@ -26,6 +26,11 @@ Model injection signatures:
   captioner(rgb, bboxes [(r0,r1,c0,c1)...]) -> [N] str
   clip_encoder(crops: list[[h,w,3] u8]) -> [N, 512]
   sbert_encoder(texts: list[str]) -> [N, 384]
+
+A weights-free default segmenter exists (perception.segmentation
+.GraphSegmenter — first-party RGB-D graph segmentation); pass ``depth``
+to route it the frame's depth map (any segmenter that accepts a second
+positional argument gets it).
 """
 
 from __future__ import annotations
@@ -77,11 +82,14 @@ def generate_frame_masks(
     score_thresh: float = 0.5,
     min_px: int = 100,
     crop_pad: int = 20,
+    depth: np.ndarray | None = None,
 ) -> dict:
     """One frame -> {'mask': [...], 'bbox': [...], 'caption': [...],
     'capfeat': [...], 'clipfeat': [...]} (the mask_init_all.pkl per-frame
     schema)."""
-    masks, scores = segmenter(rgb)
+    masks, scores = (
+        segmenter(rgb, depth) if depth is not None else segmenter(rgb)
+    )
     masks = np.asarray(masks).astype(bool)
     scores = np.asarray(scores, np.float64)
     keep = scores >= score_thresh
@@ -123,6 +131,7 @@ def generate_masks(
     clip_encoder,
     sbert_encoder,
     frame_ids=None,
+    frames_depth=None,
     **kw,
 ) -> dict:
     """All frames -> the mask_init_all dict {frame_id: per-frame dict}."""
@@ -130,7 +139,9 @@ def generate_masks(
     for i, rgb in enumerate(frames_rgb):
         fid = frame_ids[i] if frame_ids is not None else i
         out[fid] = generate_frame_masks(
-            rgb, segmenter, captioner, clip_encoder, sbert_encoder, **kw
+            rgb, segmenter, captioner, clip_encoder, sbert_encoder,
+            depth=frames_depth[i] if frames_depth is not None else None,
+            **kw,
         )
     return out
 

@@ -1,0 +1,190 @@
+"""First-party RGB-D entity segmentation — the default stage-1 segmenter.
+
+The reference's stage 1 runs CropFormer, a pretrained entity-segmentation
+transformer (/root/reference/maskclustering/mask_gen.py:231-367). That
+model is third-party weights the framework cannot ship; the pluggable
+``segmenter`` callable (mask_generation.py) accepts any replacement. This
+module provides a weights-free default so the FULL perception pipeline —
+segmentation -> captions -> features -> association -> training — runs
+end-to-end on raw posed RGB-D with no external models mounted.
+
+Algorithm: Felzenszwalb–Huttenlocher efficient graph segmentation
+(IJCV 2004 — the published algorithm, implemented from the paper) over the
+4-connected pixel grid, with an RGB-D edge weight:
+
+    w(a, b) = (1 - dw) * ||rgb_a - rgb_b||_2 / (255 * sqrt(3))
+            +      dw  * min(1, |z_a - z_b| / (rel * min(z_a, z_b)))
+
+Depth discontinuities are the strongest object-boundary evidence an RGB-D
+frame carries (a relative gap, so a 2 cm step at 0.5 m counts like an 8 cm
+step at 2 m); color separates objects lying flush against their support
+(a book on a desk). Pixels with invalid depth (z <= 0) fall back to the
+color term alone. Components are entities in CropFormer's class-agnostic
+sense — walls and floors segment too, and the association stage's caption
+anchoring (merge.py) is what routes them to the reserved background ids.
+
+Scores: the downstream contract filters at ``score >= score_thresh`` and
+paints masks best-last (mask_generation.py:42-57). A weights-free
+segmenter has no learned confidence, so the score is a size/boundary-
+contrast proxy in (0, 1]: larger, crisper components rank higher.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _union_find_segment(n_px: int, edges_a, edges_b, weights, k: float,
+                        min_size: int):
+    """Felzenszwalb merge pass + small-component cleanup.
+
+    edges must be PRE-SORTED by weight ascending. Returns the root label
+    of every pixel. Pure-Python union-find over the sorted edge list (the
+    algorithm is inherently sequential — each merge decision depends on
+    the components built so far); ~1.6 s/Mpx, run at segment-scale stride.
+    """
+    parent = np.arange(n_px, dtype=np.int64)
+    size = np.ones(n_px, dtype=np.int64)
+    # max internal edge weight of the component rooted here (paper's Int(C))
+    internal = np.zeros(n_px, dtype=np.float64)
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:        # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    ea = edges_a.tolist()
+    eb = edges_b.tolist()
+    ws = weights.tolist()
+    for a, b, w in zip(ea, eb, ws):
+        ra, rb = find(a), find(b)
+        if ra == rb:
+            continue
+        # MInt(C1, C2) = min(Int(C1) + k/|C1|, Int(C2) + k/|C2|)
+        if w <= min(internal[ra] + k / size[ra],
+                    internal[rb] + k / size[rb]):
+            if size[ra] < size[rb]:
+                ra, rb = rb, ra
+            parent[rb] = ra
+            size[ra] += size[rb]
+            internal[ra] = w            # edges arrive sorted: w is the max
+    # post-process (paper §4): absorb any component < min_size into the
+    # neighbor across its cheapest boundary edge
+    for a, b in zip(ea, eb):
+        ra, rb = find(a), find(b)
+        if ra != rb and (size[ra] < min_size or size[rb] < min_size):
+            if size[ra] < size[rb]:
+                ra, rb = rb, ra
+            parent[rb] = ra
+            size[ra] += size[rb]
+    return np.asarray([find(i) for i in range(n_px)], dtype=np.int64)
+
+
+def felzenszwalb_rgbd(
+    rgb: np.ndarray,
+    depth: np.ndarray | None = None,
+    k: float = 0.08,
+    min_size: int = 64,
+    depth_weight: float = 0.7,
+    rel_depth: float = 0.08,
+) -> np.ndarray:
+    """Segment one (sub-sampled) RGB-D frame -> int label image [H, W]."""
+    h, w = rgb.shape[:2]
+    col = np.asarray(rgb, np.float64) / 255.0
+    idx = np.arange(h * w).reshape(h, w)
+
+    def edge_set(sl_a, sl_b):
+        a = idx[sl_a].reshape(-1)
+        b = idx[sl_b].reshape(-1)
+        cd = np.sqrt(
+            ((col[sl_a] - col[sl_b]) ** 2).sum(-1).reshape(-1) / 3.0
+        )
+        if depth is not None:
+            za = np.asarray(depth, np.float64)[sl_a].reshape(-1)
+            zb = np.asarray(depth, np.float64)[sl_b].reshape(-1)
+            valid = (za > 0) & (zb > 0)
+            dd = np.minimum(
+                np.abs(za - zb) / np.maximum(rel_depth * np.minimum(za, zb),
+                                             1e-6),
+                1.0,
+            )
+            wgt = np.where(valid,
+                           (1 - depth_weight) * cd + depth_weight * dd, cd)
+        else:
+            wgt = cd
+        return a, b, wgt
+
+    ar, br, wr = edge_set(np.s_[:, :-1], np.s_[:, 1:])    # right
+    ad, bd, wd = edge_set(np.s_[:-1, :], np.s_[1:, :])    # down
+    ea = np.concatenate([ar, ad])
+    eb = np.concatenate([br, bd])
+    ws = np.concatenate([wr, wd])
+    order = np.argsort(ws, kind="stable")
+    labels = _union_find_segment(
+        h * w, ea[order], eb[order], ws[order], k, min_size
+    )
+    return labels.reshape(h, w)
+
+
+class GraphSegmenter:
+    """Weights-free default for the stage-1 ``segmenter`` slot.
+
+    ``segmenter(rgb [, depth]) -> (masks [N, H, W] bool, scores [N])`` —
+    mask_generation.py's injection signature, with the optional depth the
+    RGB-D pipeline passes when it has one. ``stride`` sub-samples the
+    pixel grid before segmenting (the union-find is sequential Python);
+    masks are nearest-upsampled back to full resolution, which is exact
+    for region masks up to the stride's boundary quantization — the
+    association stage's 3D evidence (projection.py DBSCAN denoise) eats
+    that jitter by design.
+    """
+
+    def __init__(self, k: float = 0.08, min_size: int = 64,
+                 depth_weight: float = 0.7, rel_depth: float = 0.08,
+                 stride: int = 2, max_masks: int = 64):
+        self.k = k
+        self.min_size = min_size
+        self.depth_weight = depth_weight
+        self.rel_depth = rel_depth
+        self.stride = stride
+        self.max_masks = max_masks
+
+    def __call__(self, rgb: np.ndarray, depth: np.ndarray | None = None):
+        h, w = rgb.shape[:2]
+        s = self.stride
+        rgb_s = rgb[::s, ::s]
+        depth_s = depth[::s, ::s] if depth is not None else None
+        labels = felzenszwalb_rgbd(
+            rgb_s, depth_s, self.k, self.min_size,
+            self.depth_weight, self.rel_depth,
+        )
+        if s > 1:   # nearest-neighbor upsample back to [H, W]
+            labels = labels.repeat(s, 0)[:h].repeat(s, 1)[:, :w]
+
+        ids, counts = np.unique(labels, return_counts=True)
+        order = np.argsort(-counts)[: self.max_masks]
+        masks, scores = [], []
+        col = np.asarray(rgb, np.float64) / 255.0
+        # boundary contrast: mean color distance across the mask's right/
+        # down boundary edges (crisper boundaries -> higher confidence)
+        dx = np.sqrt(((col[:, :-1] - col[:, 1:]) ** 2).sum(-1) / 3.0)
+        dy = np.sqrt(((col[:-1, :] - col[1:, :]) ** 2).sum(-1) / 3.0)
+        for i in order:
+            m = labels == ids[i]
+            bx = m[:, :-1] ^ m[:, 1:]
+            by = m[:-1, :] ^ m[1:, :]
+            nb = bx.sum() + by.sum()
+            contrast = (
+                (dx[bx].sum() + dy[by].sum()) / nb if nb else 0.0
+            )
+            # size factor saturates at ~4x min area; contrast in [0, 1]
+            sz = 1.0 - np.exp(-counts[i] / (4.0 * self.min_size * s * s))
+            scores.append(float(np.clip(0.5 + 0.5 * sz * (0.5 + contrast),
+                                        0.0, 1.0)))
+            masks.append(m)
+        if not masks:
+            return (np.zeros((0, h, w), bool), np.zeros((0,), np.float64))
+        return np.stack(masks), np.asarray(scores, np.float64)

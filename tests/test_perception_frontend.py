@@ -177,3 +177,89 @@ class TestClassFeatures:
         np.testing.assert_allclose(
             np.linalg.norm(feats["clipfeat"], axis=-1), 1.0, rtol=1e-5
         )
+
+
+class TestGraphSegmenter:
+    """First-party RGB-D entity segmentation (perception.segmentation) —
+    the weights-free default for the stage-1 segmenter slot."""
+
+    def _scene(self, h=60, w=80):
+        """Two objects in front of a far wall: a red box at 1 m, a green
+        box at 1.5 m; background flat at 3 m."""
+        rgb = np.full((h, w, 3), 180, np.uint8)
+        depth = np.full((h, w), 3.0, np.float32)
+        rgb[10:30, 10:35] = [200, 40, 40]
+        depth[10:30, 10:35] = 1.0
+        rgb[35:55, 45:70] = [40, 180, 40]
+        depth[35:55, 45:70] = 1.5
+        return rgb, depth
+
+    @staticmethod
+    def _best_iou(masks, gt):
+        best = 0.0
+        for m in masks:
+            i = (m & gt).sum()
+            u = (m | gt).sum()
+            best = max(best, i / max(u, 1))
+        return best
+
+    def test_recovers_depth_separated_objects(self):
+        from openobj_tpu.perception.segmentation import GraphSegmenter
+
+        rgb, depth = self._scene()
+        masks, scores = GraphSegmenter(stride=1, min_size=30)(rgb, depth)
+        assert masks.shape[0] >= 3        # two objects + background
+        assert len(scores) == masks.shape[0]
+        # masks are disjoint and cover the frame (a partition)
+        total = masks.sum(0)
+        assert total.max() <= 1
+        gt1 = np.zeros(rgb.shape[:2], bool); gt1[10:30, 10:35] = True
+        gt2 = np.zeros(rgb.shape[:2], bool); gt2[35:55, 45:70] = True
+        assert self._best_iou(masks, gt1) > 0.85
+        assert self._best_iou(masks, gt2) > 0.85
+
+    def test_color_splits_flush_objects(self):
+        """A book lying flat on a desk: identical depth, different color —
+        the color term must separate what depth cannot."""
+        from openobj_tpu.perception.segmentation import GraphSegmenter
+
+        h, w = 40, 60
+        rgb = np.full((h, w, 3), 120, np.uint8)
+        rgb[10:30, 20:45] = [230, 220, 30]
+        depth = np.full((h, w), 1.2, np.float32)
+        masks, _ = GraphSegmenter(stride=1, min_size=20)(rgb, depth)
+        gt = np.zeros((h, w), bool); gt[10:30, 20:45] = True
+        assert self._best_iou(masks, gt) > 0.85
+
+    def test_invalid_depth_falls_back_to_color(self):
+        from openobj_tpu.perception.segmentation import GraphSegmenter
+
+        rgb, _ = self._scene()
+        depth = np.zeros(rgb.shape[:2], np.float32)   # all invalid
+        masks, _ = GraphSegmenter(stride=1, min_size=30)(rgb, depth)
+        gt1 = np.zeros(rgb.shape[:2], bool); gt1[10:30, 10:35] = True
+        assert self._best_iou(masks, gt1) > 0.85
+
+    def test_stride_upsamples_to_full_res(self):
+        from openobj_tpu.perception.segmentation import GraphSegmenter
+
+        rgb, depth = self._scene(h=61, w=81)          # odd dims
+        masks, _ = GraphSegmenter(stride=2, min_size=20)(rgb, depth)
+        assert masks.shape[1:] == (61, 81)
+        gt1 = np.zeros((61, 81), bool); gt1[10:30, 10:35] = True
+        assert self._best_iou(masks, gt1) > 0.7       # boundary quantized
+
+    def test_end_to_end_stage1(self):
+        """GraphSegmenter through the full stage-1 driver with depth routed
+        via the new depth= parameter."""
+        from openobj_tpu.perception.segmentation import GraphSegmenter
+
+        rgb, depth = self._scene()
+        _, captioner, clip_enc, sbert_enc = _fake_models()
+        out = MG.generate_frame_masks(
+            rgb, GraphSegmenter(stride=1, min_size=30), captioner,
+            clip_enc, sbert_enc, min_px=100, depth=depth,
+        )
+        assert len(out["mask"]) >= 2
+        assert all(m.sum() >= 100 for m in out["mask"])
+        assert len(out["clipfeat"]) == len(out["mask"])
