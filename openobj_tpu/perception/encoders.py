@@ -10,9 +10,10 @@ encoders behind small interfaces with three interchangeable backends:
   1. ``Precomputed*`` — load the reference's artifact files verbatim
      (mask_init_all.pkl contract, mask_gen.py:534-550) so the pipeline is
      drop-in compatible with already-extracted data;
-  2. ``HFClipEncoder`` / ``HFSbertEncoder`` — live transformers-based
-     CLIP/SBERT (lazy; require local model weights — this container has no
-     egress);
+  2. ``HFClipEncoder`` / ``HFSbertEncoder`` / ``HFCaptioner`` — live
+     transformers-based CLIP / SBERT / box-crop captioning (the TAP
+     stage's equivalent) (lazy; require local model weights — this
+     container has no egress);
   3. test fakes (deterministic random projections) in tests/.
 
 Mask postprocessing that the reference does around CropFormer — score
@@ -196,6 +197,52 @@ class HFSbertEncoder:
         emb = (out * mask).sum(1) / mask.sum(1)
         emb = emb / emb.norm(dim=-1, keepdim=True)
         return emb.numpy()
+
+
+@dataclass
+class HFCaptioner:
+    """Box-prompted image captioner on transformers — the live equivalent
+    of the reference's TAP stage (mask_gen.py:373-427: TAP is prompted
+    with each mask's bbox as a 2-point box prompt and emits a caption per
+    mask). Here each padded bbox crop is captioned by a
+    vision-encoder-decoder model (BLIP by default); the output plugs
+    straight into the ``captioner(rgb, bboxes) -> [N] str`` slot of
+    mask_generation.generate_frame_masks, then caption_subject + SBERT as
+    in the reference. Requires local weights, or inject a prebuilt
+    (model, processor) pair (how the tests run this code with a tiny
+    config-built BLIP)."""
+
+    model_name: str = "Salesforce/blip-image-captioning-base"
+    model: object = None
+    processor: object = None
+    crop_pad: int = 20
+    max_new_tokens: int = 12
+
+    def __post_init__(self):
+        if self.model is None or self.processor is None:
+            from transformers import (
+                BlipForConditionalGeneration, BlipProcessor,
+            )
+
+            self.model = BlipForConditionalGeneration.from_pretrained(
+                self.model_name
+            )
+            self.processor = BlipProcessor.from_pretrained(self.model_name)
+
+    def __call__(self, rgb: np.ndarray, bboxes) -> list[str]:
+        import torch
+
+        if not len(bboxes):
+            return []
+        crops = [crop_with_padding(rgb, bb, pad=self.crop_pad)
+                 for bb in bboxes]
+        inputs = self.processor(images=crops, return_tensors="pt")
+        with torch.no_grad():
+            ids = self.model.generate(
+                **inputs, max_new_tokens=self.max_new_tokens
+            )
+        return [self.processor.decode(i, skip_special_tokens=True).strip()
+                for i in ids]
 
 
 # --------------------------------------------------------------------------- #

@@ -134,3 +134,73 @@ class TestHFSbertEncoder:
         alone = enc.encode_texts(["cup"])[0]
         batched = enc.encode_texts(["cup", "a very very long caption here"])[0]
         np.testing.assert_allclose(alone, batched, atol=1e-5)
+
+
+@pytest.fixture
+def tiny_blip(tmp_path):
+    cfg = transformers.BlipConfig(
+        text_config={
+            "hidden_size": 16, "intermediate_size": 32,
+            "num_hidden_layers": 2, "num_attention_heads": 2,
+            "vocab_size": 64, "encoder_hidden_size": 16,
+            "max_position_embeddings": 64,
+            "bos_token_id": 2, "pad_token_id": 0, "sep_token_id": 3,
+            "eos_token_id": 3,
+        },
+        vision_config={
+            "hidden_size": 16, "intermediate_size": 32,
+            "num_hidden_layers": 2, "num_attention_heads": 2,
+            "image_size": 32, "patch_size": 8,
+        },
+    )
+    model = transformers.BlipForConditionalGeneration(cfg).eval()
+    processor = transformers.BlipProcessor(
+        image_processor=transformers.BlipImageProcessor(
+            size={"height": 32, "width": 32}
+        ),
+        tokenizer=_bert_tokenizer(str(tmp_path)),
+    )
+    return model, processor
+
+
+class TestHFCaptioner:
+    """The TAP stage's live equivalent: per-bbox crop captioning
+    (reference mask_gen.py:373-427 prompts TAP with each mask's bbox)."""
+
+    def test_caption_per_bbox(self, tiny_blip):
+        from openobj_tpu.perception.encoders import HFCaptioner
+
+        model, processor = tiny_blip
+        cap = HFCaptioner(model=model, processor=processor,
+                          max_new_tokens=4)
+        rng = np.random.default_rng(0)
+        rgb = rng.integers(0, 255, (60, 80, 3)).astype(np.uint8)
+        out = cap(rgb, [(5, 25, 10, 40), (30, 55, 40, 75)])
+        assert len(out) == 2
+        assert all(isinstance(c, str) for c in out)
+
+    def test_empty_bboxes(self, tiny_blip):
+        from openobj_tpu.perception.encoders import HFCaptioner
+
+        model, processor = tiny_blip
+        cap = HFCaptioner(model=model, processor=processor)
+        assert cap(np.zeros((20, 20, 3), np.uint8), []) == []
+
+    def test_feeds_caption_subject_and_sbert(self, tiny_blip, tiny_bert):
+        """Full reference caption path: caption -> leading noun chunk ->
+        SBERT 384-d-analog (mask_gen.py:429-468)."""
+        from openobj_tpu.perception.encoders import (
+            HFCaptioner, HFSbertEncoder, caption_subject,
+        )
+
+        model, processor = tiny_blip
+        cap = HFCaptioner(model=model, processor=processor,
+                          max_new_tokens=4)
+        rgb = np.random.default_rng(1).integers(
+            0, 255, (40, 40, 3)).astype(np.uint8)
+        captions = [caption_subject(c) for c in cap(rgb, [(5, 35, 5, 35)])]
+        bmodel, btok = tiny_bert
+        f = HFSbertEncoder(model=bmodel, tokenizer=btok).encode_texts(
+            [c if c else "object" for c in captions]
+        )
+        assert f.shape == (1, 24) and np.isfinite(f).all()
