@@ -116,7 +116,8 @@ def evaluate_renders(pred_rgbs, gt_rgbs, pred_depths=None, gt_depths=None,
 def evaluate_run(render_dir: str, gt_rgb_dir: str, gt_depth_dir: str | None,
                  gt_semantic_dir: str | None, n_classes: int,
                  depth_scale: float = 1e-3, sem_stride: int = 1,
-                 gt_inst_dir: str | None = None):
+                 gt_inst_dir: str | None = None,
+                 inst_to_class: dict | None = None):
     """Score the train CLI's render artifacts (rgb_<i>.png, depth_<i>.png,
     maskid_<i>.png — the reference's mIoU-eval convention, train.py:591-611)
     against a ground-truth directory. Returns {psnr, depth_l1?, miou?...}.
@@ -125,12 +126,27 @@ def evaluate_run(render_dir: str, gt_rgb_dir: str, gt_depth_dir: str | None,
     association pipeline numbers its class_our/instance_our artifacts by
     ITS stride-10 index, reference dataset.py:82 — pass 10 for the standard
     Replica/ScanNet layout). gt_inst_dir: semantic_instance_<i>.png GT adds
-    instance-level IoU over the renders' inst_*.png."""
+    instance-level IoU over the renders' inst_*.png.
+
+    inst_to_class: the instance->class mapping the maskid renders were
+    painted with (render/mapping_class.json). When gt_semantic_dir is
+    absent (no REAL semantic GT — note class_our images carry global
+    INSTANCE ids, reference mask_graph.py:1240-1264, so they are NOT a
+    class GT), the semantic score is derived by remapping the instance GT
+    through this same mapping — pred and GT in one id space."""
     import glob
+    import json as _json
     import os
     import re
 
     import cv2
+
+    if inst_to_class is None:
+        mpath = os.path.join(render_dir, "mapping_class.json")
+        if os.path.exists(mpath):
+            inst_to_class = {int(k): int(v)
+                             for k, v in _json.load(open(mpath)).items()}
+    derive_sem = bool(inst_to_class) and not gt_semantic_dir and gt_inst_dir
 
     frames = sorted(
         int(re.search(r"rgb_(\d+)\.png$", p).group(1))
@@ -169,6 +185,17 @@ def evaluate_run(render_dir: str, gt_rgb_dir: str, gt_depth_dir: str | None,
             if pi is not None and gi is not None:
                 pred_inst.append(pi.astype(np.int64))
                 gt_inst.append(gi.astype(np.int64))
+                if derive_sem:
+                    ps = cv2.imread(
+                        os.path.join(render_dir, f"maskid_{i}.png"), -1
+                    )
+                    gi64 = gi.astype(np.int64)
+                    lut = np.zeros(int(gi64.max()) + 1, np.int64)
+                    for k, v in inst_to_class.items():
+                        if 0 <= k < lut.size:
+                            lut[k] = v
+                    pred_sem.append(ps.astype(np.int64))
+                    gt_sem.append(lut[gi64])
     out = evaluate_renders(
         pred_rgbs, gt_rgbs,
         pred_depths=pred_d or None, gt_depths=gt_d or None,

@@ -148,6 +148,12 @@ def render_dataset(mapper, dataset, log_dir: str, mapping_class: dict,
 
     out_dir = os.path.join(log_dir, "render")
     os.makedirs(out_dir, exist_ok=True)
+    # persist the instance->class mapping the maskid images were painted
+    # with, so eval can score semantics in the SAME id space (the class_our
+    # GT images carry global INSTANCE ids — reference mask_graph.py:1240-
+    # 1264 writes the identical image to class_our and instance_our)
+    with open(os.path.join(out_dir, "mapping_class.json"), "w") as f:
+        json.dump({str(k): int(v) for k, v in mapping_class.items()}, f)
     h, w = mapper.camera.height, mapper.camera.width
 
     fg, bg_entries = [], []

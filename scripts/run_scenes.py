@@ -68,7 +68,12 @@ def run_one_scene(cfg_path: str, scene: str, args) -> dict:
             from openobj_tpu.eval import evaluate_run
 
             root = json.load(open(cfg_path))["dataset"]["path"]
-            gt_sem = os.path.join(root, "class_our")
+            # semantic GT: a REAL class-id GT dir if the dataset ships one
+            # (class_our is NOT one — it carries global instance ids,
+            # reference mask_graph.py:1240-1264); otherwise evaluate_run
+            # derives class GT from instance_our + the run's own
+            # render/mapping_class.json (same id space as maskid renders)
+            gt_sem = os.path.join(root, "semantic_class")
             gt_inst = os.path.join(root, "instance_our")
             entry["eval"] = {
                 k: (round(float(v), 4) if np.isscalar(v) else v)

@@ -72,6 +72,15 @@ def write_replica_dataset(root, n_raw_frames=40, stride=10, rng=None):
                        ("object_capfeat.pkl", cap_pkl)):
         with open(os.path.join(root, name), "wb") as f:
             pickle.dump(data, f)
+    # class-feature table keyed to the instances' own features: each
+    # object argmaxes onto 'its' class, making the semantic scorecard
+    # meaningful on the fixture (train.py assign_all_semantics)
+    np.savez(
+        os.path.join(root, "class_feats.npz"),
+        names=np.asarray(["wall", "sphere_a", "sphere_b"]),
+        clipfeat=np.stack([feats[k][0] for k in (1, 4, 5)]),
+        capfeat=np.stack([feats[k][1] for k in (1, 4, 5)]),
+    )
     return scene, dirs
 
 
@@ -424,7 +433,8 @@ class TestRunScenesDriver:
 
         out = tmp_path / "runs"
         run_scenes.main([str(cfg_dir), "--out", str(out), "--eval",
-                         "--n-classes", "8"])
+                         "--n-classes", "8", "--class-features",
+                         str(scene_root / "class_feats.npz")])
         summary = json.load(open(out / "summary.json"))
         assert summary["sceneA"]["status"] == "ok"
         assert summary["sceneA"]["objects"] >= 1
@@ -436,6 +446,10 @@ class TestRunScenesDriver:
         assert ev["psnr"] > 15          # synthetic scene reconstructs
         assert ev["depth_l1"] < 1.5     # 2 assoc frames, 15 iters: coarse
         assert ev["inst_miou"] > 0.3    # objects land where GT says
+        # semantics scored in ONE id space: maskid renders vs instance GT
+        # remapped through the run's own render/mapping_class.json
+        assert ev["miou"] > 0.3
+        assert ev["macc"] > 0.3
 
 
 class TestResume:
