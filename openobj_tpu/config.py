@@ -123,6 +123,10 @@ def load_scene_config(path: str) -> SceneConfig:
         obj_scale=md["obj_scale"],
         bg_scale=md["bg_scale"],
         do_bg=bool(tr.get("do_bg", 1)),
+        # "bf16" switches the MLP ensemble matmuls AND the part-loss
+        # C-wide GEMMs to bf16 operands with f32 masters/accumulation
+        # (the gt side of the part GEMM is exact in bf16 — int8 values)
+        compute_dtype=tr.get("compute_dtype", "f32"),
     )
 
     vis = c.get("vis", {})

@@ -296,12 +296,21 @@ def _sample_batch(
     # [.., R, P, 3] tensor is 3P x the per-ray data (92 MB/frame at the
     # room_0 envelope of pure HBM write+read); the step reconstructs them
     # elementwise (points_for_slice), fusing into the PE
+    #
+    # Scan xs are stored RAY-MINOR ([.., 3|P, R] — see restore_ray_major):
+    # TPU arrays are tiled (8, 128) over the two minormost dims, so a
+    # trailing dim of 3 (rgb/origins/dirs) or P=10 (z) lane-pads the
+    # stored slab up to 42x/12.8x its logical bytes, and every scan step
+    # paid a ~1.5 GB/s retiling copy into the compute layout (which puts
+    # R on the lanes — xplane profile). Ray-minor storage matches the
+    # in-loop layout, so the per-step copy becomes a relabel.
+    rm = (lambda x: x.swapaxes(-1, -2)) if scan_iters else (lambda x: x)
     batch = {
-        "rgb": rgb.reshape(*lead, R, 3),
+        "rgb": rm(rgb.reshape(*lead, R, 3)),
         "depth": depth.reshape(*lead, R),
         "state": state.reshape(*lead, R),
-        "origins": (origins - center_b).reshape(*lead, R, 3),
-        "dirs_w": dirs_w.reshape(*lead, R, 3),
+        "origins": rm((origins - center_b).reshape(*lead, R, 3)),
+        "dirs_w": rm(dirs_w.reshape(*lead, R, 3)),
     }
     if defer_z:
         # z recomputed inside each step (cfg.z_per_step): per-step keys ride
@@ -311,7 +320,7 @@ def _sample_batch(
             max_bound.reshape(1, o, 1), (scan_iters, o, 1)
         )
     else:
-        batch["z"] = z.reshape(*lead, R, P)
+        batch["z"] = rm(z.reshape(*lead, R, P))
     if cfg.part_mode and store.partfeat is not None:
         hp, wp = store.partfeat.shape[1], store.partfeat.shape[2]
         lin_pf = ((f * hp + u // cfg.part_down) * wp + v // cfg.part_down)
@@ -323,6 +332,20 @@ def _sample_batch(
         # pure HBM write+read before the per-step slices even started.
         batch["partfeat_idx"] = lin_pf.reshape(*lead, R).astype(jnp.int32)
     return batch
+
+
+RAY_MINOR_KEYS = ("rgb", "origins", "dirs_w", "z")
+
+
+def restore_ray_major(sl: dict) -> dict:
+    """Undo the xs ray-minor storage transpose ([.., 3|P, R] -> [.., R, .])
+    on a step's slice. A logical transpose only: the physical layout
+    already matches the step's compute layout (see _sample_batch), so XLA
+    lowers this to a relabel, not a copy."""
+    for k in RAY_MINOR_KEYS:
+        if k in sl:
+            sl[k] = sl[k].swapaxes(-1, -2)
+    return sl
 
 
 def resolve_z(sl: dict, cfg: TrainConfig, is_bg: bool) -> dict:
@@ -445,6 +468,7 @@ def _loss_for_slice(params, batch, active, cfg: TrainConfig, is_bg: bool):
         pred_partfeat_hidden=f if cfg.part_mode else None,
         partfeat_head=params["mlp"] if cfg.part_mode else None,
         partfeat_scaling=cfg.partfeat_scaling,
+        compute_dtype=cfg.compute_dtype,
     )
     return total, per_obj
 
@@ -468,10 +492,15 @@ def train_frame(
     active = fg_tables["active"]
     do_bg = cfg.do_bg and state.bg_params is not None
 
-    def run_step(st, fg_sl, bg_sl):
-        fg_sl = resolve_z(dict(fg_sl), cfg, is_bg=False)
+    def run_step(st, fg_sl, bg_sl, ray_minor=False):
+        fg_sl, bg_sl = dict(fg_sl), None if bg_sl is None else dict(bg_sl)
+        if ray_minor:
+            fg_sl = restore_ray_major(fg_sl)
+            if bg_sl is not None:
+                bg_sl = restore_ray_major(bg_sl)
+        fg_sl = resolve_z(fg_sl, cfg, is_bg=False)
         if bg_sl is not None:
-            bg_sl = resolve_z(dict(bg_sl), cfg, is_bg=True)
+            bg_sl = resolve_z(bg_sl, cfg, is_bg=True)
         # ray-level data parallelism: under a ('data', 'object') mesh
         # (jax.set_mesh + parallel.sharding.make_mesh_2d) each step's ray
         # slice shards over 'data'; grad psums follow from the shardings.
@@ -545,7 +574,7 @@ def train_frame(
 
     def opt_step(st, xs):
         fg_sl, bg_sl = xs
-        return run_step(st, fg_sl, bg_sl if do_bg else None)
+        return run_step(st, fg_sl, bg_sl if do_bg else None, ray_minor=True)
 
     state, losses_per_iter = jax.lax.scan(
         opt_step, state, (fg_batch, bg_batch), unroll=cfg.scan_unroll,

@@ -37,6 +37,7 @@ def factored_cosine_loss(
     hidden: jnp.ndarray,      # [O, R, h] composited clip hidden
     opacity: jnp.ndarray,     # [O, R]
     gt: jnp.ndarray,          # [O, R, C] (int8/bf16 store dtype ok)
+    compute_dtype: str = "f32",
 ) -> jnp.ndarray:
     """1 - cos(hidden @ W + opacity*b, gt) WITHOUT materializing the
     [O, R, C] projected feature (C = 512).
@@ -53,20 +54,34 @@ def factored_cosine_loss(
     [O,R,C] gradient materializes either.
     """
     w, b = head["out_clip"]["w"], head["out_clip"]["b"]
-    gtc = gt.astype(jnp.float32)
+    # C-wide GEMM precision: with compute_dtype="bf16" the gt side is
+    # EXACT (int8 store values are integers <= 127, exactly representable
+    # in bf16; bf16-store values are already bf16) and products accumulate
+    # in f32 (preferred_element_type) — only the [O,h+1,C] weight operand
+    # rounds (2^-9 relative), same mixed-precision contract as the MLP's
+    # compute_dtype. The tiny [h+1]-wide forms stay f32.
+    cd = jnp.bfloat16 if compute_dtype == "bf16" else jnp.float32
+    gtc = gt.astype(cd)
     hp = jnp.concatenate([hidden, opacity[..., None]], axis=-1)  # [O,R,h+1]
+    f32 = jnp.float32
     if w.ndim == 3:   # stacked objects: w [O, h, C], b [O, C]
-        wb = jnp.concatenate([w, b[:, None, :]], axis=1)         # [O,h+1,C]
-        t = jnp.einsum("orc,ohc->orh", gtc, wb)
-        g = jnp.einsum("ohc,okc->ohk", wb, wb)
+        # cast ONCE: t and the Gram both read this operand — a separate
+        # f32 copy for g would force two materializations of the largest
+        # per-step weight tensor (the [O,h+1,C] prefetch is the part
+        # term's biggest mover in the frame profile)
+        wb = jnp.concatenate([w, b[:, None, :]], axis=1).astype(cd)
+        t = jnp.einsum("orc,ohc->orh", gtc, wb,
+                       preferred_element_type=f32)
+        g = jnp.einsum("ohc,okc->ohk", wb, wb, preferred_element_type=f32)
         pn2 = jnp.einsum("orh,ohk,ork->or", hp, g, hp)
     else:             # single model: w [h, C], b [C]
-        wb = jnp.concatenate([w, b[None, :]], axis=0)            # [h+1,C]
-        t = jnp.einsum("orc,hc->orh", gtc, wb)
-        g = wb @ wb.T
+        wb = jnp.concatenate([w, b[None, :]], axis=0).astype(cd)
+        t = jnp.einsum("orc,hc->orh", gtc, wb,
+                       preferred_element_type=f32)
+        g = jnp.einsum("hc,kc->hk", wb, wb, preferred_element_type=f32)
         pn2 = jnp.einsum("orh,hk,ork->or", hp, g, hp)
     num = jnp.sum(hp * t, axis=-1)
-    gn2 = jnp.sum(gtc * gtc, axis=-1)
+    gn2 = jnp.einsum("orc,orc->or", gtc, gtc, preferred_element_type=f32)
     # the quad form can go microscopically negative from fp cancellation
     # where sum(pred^2) would be ~0 (all-transparent rays); clamp so the
     # sqrt stays NaN-free exactly like the sum-of-squares form
@@ -89,6 +104,7 @@ def step_batch_loss(
     pred_partfeat_hidden: jnp.ndarray | None = None,  # [O, R, P, h]
     partfeat_head: dict | None = None,         # mlp params with "out_clip"
     partfeat_scaling: float = 5.0,
+    compute_dtype: str = "f32",   # part-term C-wide GEMM precision
 ):
     """Returns (scalar total loss, per-object loss [O])."""
     mask_obj = jax.lax.stop_gradient(state != STATE_OTHER)
@@ -129,7 +145,8 @@ def step_batch_loss(
             termination[..., None], pred_partfeat_hidden, axis=-2
         )
         loss_pf_raw = factored_cosine_loss(
-            partfeat_head, render_hidden, render_opacity, gt_partfeat
+            partfeat_head, render_hidden, render_opacity, gt_partfeat,
+            compute_dtype=compute_dtype,
         )
     elif gt_partfeat is not None and pred_partfeat is not None:
         render_partfeat = rendering.render(
