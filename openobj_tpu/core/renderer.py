@@ -25,6 +25,11 @@ Render-path speedups beyond the reference (both opt-in, parity-tested):
   * ``compute_dtype="bf16"``: evaluate the field MLP in bf16 (f32 params +
     accumulation) — rendering is pure inference, so the half-precision
     matmuls are quality-neutral at the occupancy/color ranges here.
+  * ``render_frame_bucketed``: per-object adaptive bin counts — the
+    configured bin count anchors the sampling density at the largest
+    object; smaller objects render with proportionally fewer bins through
+    a few statically-sized bucketed dispatches (the reference's fixed 150
+    bins oversample small objects ~10x). Composes with ``two_pass``.
 """
 
 from __future__ import annotations
@@ -407,3 +412,125 @@ def render_frame_batched(
          jnp.zeros((n, 3))),
     )
     return {"depth": zb, "winner": win, "color": rgbb, "n_hit": n_hit}
+
+
+# --------------------------------------------------------------------------- #
+# adaptive per-object bin counts (bucketed dispatch)
+# --------------------------------------------------------------------------- #
+
+
+def bucket_bin_counts(
+    extents,
+    active,
+    n_bins: int,
+    min_bins: int = 24,
+    levels=(1.0, 0.5, 0.25),
+    far_extension: float = 0.2,
+):
+    """Per-object bin counts [O] (host-side, numpy) for the bucketed renderer.
+
+    The reference evaluates a FIXED 150 bins over every object's OBB interval
+    (trainer.py:141-147) — so a 30 cm cup is sampled 10x denser than a 3 m
+    sofa. Keeping the *density* of the largest active object instead: the
+    configured ``n_bins`` is anchored to the largest OBB diagonal (the
+    longest possible traversal), every smaller object gets proportionally
+    fewer bins, quantized UP to ``n_bins * level`` for the given levels (so
+    no object is ever sampled sparser than the anchor object), floor
+    ``min_bins``. A handful of distinct sizes keeps the number of jit
+    specializations bounded.
+    """
+    ext = np.asarray(extents, np.float64)
+    act = np.asarray(active, bool)
+    spans = np.linalg.norm(ext, axis=1) + far_extension
+    ref = float(spans[act].max()) if act.any() else 1.0
+    need = n_bins * spans / max(ref, 1e-6)
+    sizes = sorted(
+        {max(min_bins, int(round(n_bins * lv))) for lv in levels} | {n_bins}
+    )
+    out = np.full(ext.shape[0], n_bins, np.int32)
+    for o in np.nonzero(act)[0]:
+        out[o] = next(s for s in sizes if s >= min(need[o], n_bins))
+    return out
+
+
+def render_frame_bucketed(
+    stacked_params: dict,
+    t_wo: jnp.ndarray,
+    extents: jnp.ndarray,
+    centers: jnp.ndarray,
+    active: jnp.ndarray,
+    origins: jnp.ndarray,
+    dirs_w: jnp.ndarray,
+    key: jax.Array,
+    n_bins: int = 150,
+    max_deg: int = 5,
+    max_hit_rays: int = 65536,
+    chunk: int = 2048,
+    opacity_thresh: float = 0.9,
+    far_extension: float = 0.2,
+    two_pass: bool = False,
+    n_probe: int = 32,
+    compute_dtype: str = "f32",
+    min_bins: int = 24,
+    levels=(1.0, 0.5, 0.25),
+):
+    """``render_frame_batched`` with per-object adaptive bin counts.
+
+    Host-side orchestration: objects are grouped by ``bucket_bin_counts``
+    into a few static bin sizes; each bucket renders through one
+    ``render_frame_batched`` dispatch whose hit-ray cap is sized to that
+    bucket's TRUE coverage (rounded up to a power-of-two number of chunks so
+    re-specializations stay O(log) over a run), and the bucket z-buffers are
+    merged by nearest depth. Small objects thus pay proportionally fewer
+    point evals AND a tighter ray pad than the global cap. Composes with
+    ``two_pass``.
+
+    Returns the ``render_frame_batched`` dict (winner indices into the full
+    stack) plus ``"bins"`` [O] — the per-object bin counts used.
+    """
+    o_count = extents.shape[0]
+    n = origins.shape[0]
+    bins = bucket_bin_counts(
+        extents, active, n_bins, min_bins=min_bins, levels=levels,
+        far_extension=far_extension,
+    )
+    counts = np.asarray(
+        obb_hit_counts(t_wo, extents, active, origins, dirs_w)
+    )
+    act = np.asarray(active, bool)
+    n_cap = -(-n // chunk) * chunk
+
+    depth = jnp.full((n,), jnp.inf)
+    winner = jnp.full((n,), -1, jnp.int32)
+    color = jnp.zeros((n, 3))
+    n_hit = np.zeros(o_count, np.int32)
+    n_hit[act] = counts[act]
+
+    for b in sorted({int(x) for x in bins[act]}):
+        sel = np.nonzero(act & (bins == b))[0]
+        sel_j = jnp.asarray(sel)
+        need = int(counts[sel].max())
+        n_chunks = max(1, -(-min(need, max_hit_rays, n) // chunk))
+        n_chunks = 1 << (n_chunks - 1).bit_length()   # next power of two
+        m = min(n_chunks * chunk, n_cap, -(-max_hit_rays // chunk) * chunk)
+        out = render_frame_batched(
+            jax.tree.map(lambda x: x[sel_j], stacked_params),
+            t_wo[sel_j], extents[sel_j], centers[sel_j],
+            jnp.ones((len(sel),), bool), origins, dirs_w,
+            jax.random.fold_in(key, b),
+            n_bins=b, max_deg=max_deg, max_hit_rays=m, chunk=chunk,
+            opacity_thresh=opacity_thresh, far_extension=far_extension,
+            two_pass=two_pass, n_probe=n_probe, compute_dtype=compute_dtype,
+        )
+        better = out["depth"] < depth   # out depth is inf where no winner
+        depth = jnp.where(better, out["depth"], depth)
+        winner = jnp.where(
+            better, sel_j.astype(jnp.int32)[jnp.maximum(out["winner"], 0)],
+            winner,
+        )
+        color = jnp.where(better[:, None], out["color"], color)
+
+    return {
+        "depth": depth, "winner": winner, "color": color,
+        "n_hit": jnp.asarray(n_hit), "bins": bins,
+    }

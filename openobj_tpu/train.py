@@ -120,7 +120,8 @@ def save_checkpoints(mapper, log_dir: str, t_wc_last: np.ndarray):
 def render_dataset(mapper, dataset, log_dir: str, mapping_class: dict,
                    bg_ids=(0, 2, 3), n_bins: int = 150, chunk: int = 2048,
                    hit_frac: float = 0.25, two_pass: bool = False,
-                   n_probe: int = 32, refine_bins: int | None = None):
+                   n_probe: int = 32, refine_bins: int | None = None,
+                   adaptive_bins: bool = False):
     """Render every dataset pose through all object fields with z-buffer
     compositing; write rgb/depth/maskid PNGs (train.py:550-612 — the maskid
     images are the mIoU-eval artifact).
@@ -135,7 +136,12 @@ def render_dataset(mapper, dataset, log_dir: str, mapping_class: dict,
     at 64 bins; parity depends on the fields having converged to hard
     surfaces, so it is opt-in. refine_bins sets the refine pass's bin count
     explicitly (default: max(n_bins // 2, 48)) so config n_bins and the
-    empty-space-skipping tradeoff stay independently controllable."""
+    empty-space-skipping tradeoff stay independently controllable.
+
+    adaptive_bins: per-object bin counts — the configured bin count anchors
+    the sampling density at the largest object; smaller objects get
+    proportionally fewer bins in a few bucketed dispatch sizes
+    (renderer.render_frame_bucketed). Composes with two_pass."""
     import cv2
     import jax
     import jax.numpy as jnp
@@ -213,7 +219,9 @@ def render_dataset(mapper, dataset, log_dir: str, mapping_class: dict,
                 mhr = min(mhr * 2, mhr_full)
                 print(f"render: raising max_hit_rays to {mhr} "
                       f"(an object covers {need} rays)")
-            out = renderer.render_frame_batched(
+            render_fn = (renderer.render_frame_bucketed if adaptive_bins
+                         else renderer.render_frame_batched)
+            out = render_fn(
                 params_sub, jnp.asarray(t_wo), jnp.asarray(extents),
                 jnp.asarray(centers), active, origins, dirs_w, k,
                 n_bins=eff_bins,
@@ -331,6 +339,10 @@ def main(argv=None):
                         help="bin count for the two-pass refine pass "
                              "(default: max(render n_bins // 2, 48)); only "
                              "used with --render-two-pass")
+    parser.add_argument("--render-adaptive-bins", action="store_true",
+                        help="per-object render bin counts (density anchored "
+                             "at the largest object, bucketed static sizes); "
+                             "composes with --render-two-pass")
     parser.add_argument("--resume", action="store_true",
                         help="resume from <logdir>/scene_state.npz (full "
                              "training state incl. optimizer — the reference "
@@ -430,7 +442,8 @@ def main(argv=None):
                        bg_ids=cfg.bg_ids,
                        two_pass=args.render_two_pass
                        or bool(vis.get("two_pass", 0)),
-                       refine_bins=args.render_refine_bins)
+                       refine_bins=args.render_refine_bins,
+                       adaptive_bins=args.render_adaptive_bins)
     if bool(vis.get("if_obj", 0)) or cfg.save_mesh:
         n = export_meshes(mapper, args.logdir, cfg.grid_dim,
                           cfg.live_voxel_size, cfg.save_mesh, cfg.save_pcd)

@@ -255,3 +255,104 @@ class TestTwoPassRender:
             np.asarray(outs["f32"]["color"]) - np.asarray(outs["bf16"]["color"])
         )
         assert c.max() < 0.05
+
+
+class TestBucketedRender:
+    """Adaptive per-object bin counts (render_frame_bucketed)."""
+
+    @pytest.fixture
+    def mixed(self):
+        """Three solid objects of very different sizes: a big box (anchor),
+        a small one, and one off-screen-ish to the side."""
+        h, w = 24, 32
+        cam_dirs = sampling.camera_ray_dirs(
+            w, h, fx=20.0, fy=20.0, cx=16.0, cy=12.0
+        )
+        dirs_c = jnp.asarray(cam_dirs).reshape(-1, 3)
+        t = jnp.eye(4)
+        origins, dirs_w = sampling.origin_dirs_w(
+            jnp.broadcast_to(t, (dirs_c.shape[0], 4, 4)), dirs_c
+        )
+        boxes = [
+            OrientedBox(center=np.array([-0.4, 0.0, 3.0]), r=np.eye(3),
+                        extent=np.array([1.4, 1.4, 1.0])),
+            OrientedBox(center=np.array([0.45, 0.1, 2.0]), r=np.eye(3),
+                        extent=np.array([0.3, 0.3, 0.2])),
+            OrientedBox(center=np.array([0.9, -0.3, 2.5]), r=np.eye(3),
+                        extent=np.array([0.5, 0.5, 0.4])),
+        ]
+        keys = jax.random.split(jax.random.PRNGKey(5), 3)
+        params = [_solid_field(k) for k in keys]
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *params)
+        t_wo = np.tile(np.eye(4, dtype=np.float32), (3, 1, 1))
+        extents = np.zeros((3, 3), np.float32)
+        for j, b in enumerate(boxes):
+            t_wo[j, :3, :3] = b.r
+            t_wo[j, :3, 3] = b.center
+            extents[j] = b.extent
+        return (origins, dirs_w, stacked, jnp.asarray(t_wo),
+                jnp.asarray(extents))
+
+    def test_bucket_bin_counts(self, mixed):
+        _, _, _, t_wo, extents = mixed
+        active = np.ones(3, bool)
+        bins = renderer.bucket_bin_counts(extents, active, 120, min_bins=24)
+        assert bins[0] == 120            # anchor (largest diagonal)
+        assert bins[1] < bins[0]         # small object: smaller bucket
+        assert bins[1] >= 24
+        # quantized to the level set {120*lv} floored at min_bins
+        assert all(b in (30, 60, 120) for b in bins)
+        # inactive slots keep the full count (never rendered anyway)
+        bins2 = renderer.bucket_bin_counts(
+            extents, np.array([True, False, True]), 120
+        )
+        assert bins2[1] == 120
+
+    def test_bucketed_matches_batched(self, mixed):
+        origins, dirs_w, stacked, t_wo, extents = mixed
+        active = jnp.ones((3,), bool)
+        centers = jnp.zeros((3, 3))
+        full = renderer.render_frame_batched(
+            stacked, t_wo, extents, centers, active, origins, dirs_w,
+            jax.random.PRNGKey(1), n_bins=120, max_hit_rays=768, chunk=128,
+        )
+        buck = renderer.render_frame_bucketed(
+            stacked, t_wo, extents, centers, active, origins, dirs_w,
+            jax.random.PRNGKey(1), n_bins=120, max_hit_rays=768, chunk=128,
+        )
+        w1 = np.asarray(full["winner"])
+        w2 = np.asarray(buck["winner"])
+        # winner indices are GLOBAL stack indices and agree with the
+        # fixed-bin render (solid fields: depth ~ near, unambiguous)
+        np.testing.assert_array_equal(w1, w2)
+        assert set(np.unique(w2)) <= {-1, 0, 1, 2}
+        sel = w1 >= 0
+        d1 = np.asarray(full["depth"])[sel]
+        d2 = np.asarray(buck["depth"])[sel]
+        # depth agreement within one bin width of the COARSEST bucket the
+        # winning objects used (solid field terminates in the first bin)
+        span = float(np.linalg.norm(np.asarray(extents), axis=1).max()) + 0.2
+        tol = span / int(min(buck["bins"]))
+        assert np.abs(d1 - d2).max() < tol
+        np.testing.assert_array_equal(
+            np.asarray(buck["n_hit"]),
+            np.asarray(renderer.obb_hit_counts(
+                t_wo, extents, active, origins, dirs_w)),
+        )
+
+    def test_bucketed_two_pass_composes(self, mixed):
+        origins, dirs_w, stacked, t_wo, extents = mixed
+        active = jnp.ones((3,), bool)
+        centers = jnp.zeros((3, 3))
+        full = renderer.render_frame_batched(
+            stacked, t_wo, extents, centers, active, origins, dirs_w,
+            jax.random.PRNGKey(1), n_bins=120, max_hit_rays=768, chunk=128,
+        )
+        buck = renderer.render_frame_bucketed(
+            stacked, t_wo, extents, centers, active, origins, dirs_w,
+            jax.random.PRNGKey(1), n_bins=120, max_hit_rays=768, chunk=128,
+            two_pass=True, n_probe=16,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(full["winner"]), np.asarray(buck["winner"])
+        )
