@@ -31,7 +31,7 @@ N_ACTIVE_OBJECTS = 50
 N_SLOTS = 64
 H, W = 680, 1200
 N_FRAMES_STORE = 20
-N_TIMED_FRAMES = 4
+N_TIMED_FRAMES = 8
 
 
 def main():
