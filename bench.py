@@ -34,7 +34,13 @@ N_FRAMES_STORE = 20
 N_TIMED_FRAMES = 8
 
 
-def main():
+def build_envelope(cfg=None):
+    """Build the room_0 benchmark workload (state, store, tables) for a
+    TrainConfig — the ONE construction shared by bench.py (headline),
+    scripts/bench_ablate.py (per-knob rows), and scripts/profile_train.py
+    (xplane traces), so every measurement runs the identical envelope.
+
+    Returns (state, store, cam_dirs, fg_tables, bg_tables, cfg)."""
     import jax
     import jax.numpy as jnp
 
@@ -42,14 +48,17 @@ def main():
     from openobj_tpu.core.frame_store import append_frame, init_frame_store
     from openobj_tpu.core.scene import Camera
 
-    cfg = trainer.TrainConfig(part_mode=True)  # defaults = room_0
+    if cfg is None:
+        cfg = trainer.TrainConfig(part_mode=True)  # defaults = room_0
     cam = Camera(width=W, height=H, fx=600.0, fy=600.0, cx=599.5, cy=339.5)
 
     key = jax.random.PRNGKey(0)
     state = trainer.init_train_state(key, cfg, n_slots=N_SLOTS)
 
     store = init_frame_store(
-        N_FRAMES_STORE, H, W, part_feat_dim=cfg.clip_size, part_down=cfg.part_down
+        N_FRAMES_STORE, H, W,
+        part_feat_dim=cfg.clip_size if cfg.part_mode else 0,
+        part_down=cfg.part_down,
     )
     rng = np.random.default_rng(0)
     inst_full = rng.integers(-1, N_ACTIVE_OBJECTS, (H, W)).astype(np.int32)
@@ -62,8 +71,11 @@ def main():
             rng.uniform(0.5, 6.0, (H, W)).astype(np.float32),
             inst_full,
             pose,
-            partfeat=rng.normal(size=(H // cfg.part_down, W // cfg.part_down,
-                                      cfg.clip_size)).astype(np.float32),
+            partfeat=(
+                rng.normal(size=(H // cfg.part_down, W // cfg.part_down,
+                                 cfg.clip_size)).astype(np.float32)
+                if cfg.part_mode else None
+            ),
         )
 
     K = N_FRAMES_STORE
@@ -94,7 +106,15 @@ def main():
         "n_kf": jnp.asarray(K - 1, jnp.int32),
         "latest2": fg_tables["latest2"][0],
     }
-    cam_dirs = cam.ray_dirs()
+    return state, store, cam.ray_dirs(), fg_tables, bg_tables, cfg
+
+
+def main():
+    import jax
+
+    from openobj_tpu.core import trainer
+
+    state, store, cam_dirs, fg_tables, bg_tables, cfg = build_envelope()
 
     def run(k):
         return trainer.train_frame(

@@ -132,6 +132,10 @@ def _registry_meta(mapper) -> dict:
         # temporal frame -> store slot (eviction recycles slots; replaying
         # appends at these slots reproduces the final store exactly)
         "frame_slots": np.asarray(mapper.frame_slots, np.int64),
+        # store capacity the run was trained with: restore rebuilds a
+        # too-small store to this size so resume never depends on the new
+        # process passing the same --frame-capacity
+        "frame_capacity": np.asarray(mapper.store.capacity, np.int64),
         "bg_seen": np.asarray(int(r.bg_seen), np.int64),
         "bg_kf_frames": r.bg_kf_frames,
         "bg_kf_bbox": r.bg_kf_bbox,
@@ -218,6 +222,22 @@ def _restore_registry_meta(mapper, z) -> None:
             stt.frame_cnt = mapper.frame_count  # approximate policy resume
     if "frame_slots" in z:
         mapper.frame_slots = [int(x) for x in z["frame_slots"]]
+    if "frame_capacity" in z:
+        snap_cap = int(z["frame_capacity"])
+        if mapper.store.capacity < snap_cap:
+            # the keyframe tables index store slots up to the ORIGINAL
+            # capacity; rebuild the (still-empty) store at that size rather
+            # than failing mid-replay when the new process was constructed
+            # with a smaller --frame-capacity
+            from openobj_tpu.core.frame_store import init_frame_store
+
+            cfg = mapper.cfg
+            mapper.store = init_frame_store(
+                snap_cap, mapper.camera.height, mapper.camera.width,
+                part_feat_dim=cfg.clip_size if cfg.part_mode else 0,
+                part_down=cfg.part_down,
+                part_dtype=cfg.part_dtype,
+            )
     if "bg_seen" in z and r.bg is not None:
         r.bg_seen = bool(int(z["bg_seen"]))
         r.bg_kf_frames[:] = z["bg_kf_frames"]

@@ -473,6 +473,7 @@ def render_frame_bucketed(
     compute_dtype: str = "f32",
     min_bins: int = 24,
     levels=(1.0, 0.5, 0.25),
+    hit_counts=None,
 ):
     """``render_frame_batched`` with per-object adaptive bin counts.
 
@@ -487,6 +488,10 @@ def render_frame_bucketed(
 
     Returns the ``render_frame_batched`` dict (winner indices into the full
     stack) plus ``"bins"`` [O] — the per-object bin counts used.
+
+    ``hit_counts``: precomputed ``obb_hit_counts`` result [O] — pass it when
+    the caller already ran the pre-pass (train.render_dataset sizes its cap
+    from it) so the slab test isn't evaluated twice per frame.
     """
     o_count = extents.shape[0]
     n = origins.shape[0]
@@ -496,6 +501,7 @@ def render_frame_bucketed(
     )
     counts = np.asarray(
         obb_hit_counts(t_wo, extents, active, origins, dirs_w)
+        if hit_counts is None else hit_counts
     )
     act = np.asarray(active, bool)
     n_cap = -(-n // chunk) * chunk

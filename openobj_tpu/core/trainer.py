@@ -20,6 +20,7 @@ Workload-shape parity (configs/Replica/room_0.json):
 
 from __future__ import annotations
 
+import dataclasses
 from dataclasses import dataclass
 import os
 from functools import partial
@@ -73,8 +74,12 @@ class TrainConfig:
     # unroll factor for the optimizer-step scan (amortizes per-iteration
     # fixed costs across the ~40 small fusions per step; raises compile
     # time). Numerics-invariant; env-overridable so the CPU test suite can
-    # default to 1 (conftest) without touching the TPU default.
-    scan_unroll: int = int(os.environ.get("OPENOBJ_SCAN_UNROLL", "4"))
+    # default to 1 (conftest) without touching the TPU default. Read per
+    # instantiation (default_factory), not at class definition, so setting
+    # the env after import still takes effect.
+    scan_unroll: int = dataclasses.field(
+        default_factory=lambda: int(os.environ.get("OPENOBJ_SCAN_UNROLL", "4"))
+    )
     # "tree" (per-leaf AdamW fusions) or "flat" (one fused update over the
     # concatenated [O, K] parameter matrix — bit-identical, see optim)
     optim_impl: str = "tree"

@@ -185,10 +185,15 @@ def evaluate_run(render_dir: str, gt_rgb_dir: str, gt_depth_dir: str | None,
             if pi is not None and gi is not None:
                 pred_inst.append(pi.astype(np.int64))
                 gt_inst.append(gi.astype(np.int64))
-                if derive_sem:
-                    ps = cv2.imread(
+                ps = (
+                    cv2.imread(
                         os.path.join(render_dir, f"maskid_{i}.png"), -1
                     )
+                    if derive_sem else None
+                )
+                # a missing/corrupt maskid render skips the frame's semantic
+                # rows (same policy as the None-guarded inst reads above)
+                if derive_sem and ps is not None:
                     gi64 = gi.astype(np.int64)
                     lut = np.zeros(int(gi64.max()) + 1, np.int64)
                     for k, v in inst_to_class.items():

@@ -211,14 +211,16 @@ def render_dataset(mapper, dataset, log_dir: str, mapping_class: dict,
             # close-up object (e.g. a bed filling the view) never loses
             # pixels; double to the next chunk multiple so recompiles stay
             # O(log) over the run
-            need = int(jnp.max(renderer.obb_hit_counts(
+            counts = renderer.obb_hit_counts(
                 jnp.asarray(t_wo), jnp.asarray(extents), active,
                 origins, dirs_w,
-            )))
+            )
+            need = int(jnp.max(counts))
             while mhr < min(need, mhr_full):
                 mhr = min(mhr * 2, mhr_full)
                 print(f"render: raising max_hit_rays to {mhr} "
                       f"(an object covers {need} rays)")
+            extra = {"hit_counts": counts} if adaptive_bins else {}
             render_fn = (renderer.render_frame_bucketed if adaptive_bins
                          else renderer.render_frame_batched)
             out = render_fn(
@@ -227,9 +229,13 @@ def render_dataset(mapper, dataset, log_dir: str, mapping_class: dict,
                 n_bins=eff_bins,
                 max_hit_rays=mhr, chunk=chunk,
                 max_deg=mapper.cfg.max_deg,
-                two_pass=two_pass, n_probe=n_probe,
+                two_pass=two_pass, n_probe=n_probe, **extra,
             )
-            assert int(jnp.max(out["n_hit"])) <= mhr
+            if int(jnp.max(out["n_hit"])) > mhr:   # survives python -O
+                raise ValueError(
+                    f"render cap regression: an object covers "
+                    f"{int(jnp.max(out['n_hit']))} rays > cap {mhr}"
+                )
             win = np.asarray(out["winner"]).reshape(h, w)
             zb = np.asarray(out["depth"]).reshape(h, w)
             col = np.asarray(out["color"]).reshape(h, w, 3)

@@ -242,6 +242,34 @@ class TestFrameEviction:
             np.asarray(m2.store.packed), np.asarray(m.store.packed)
         )
 
+    def test_restore_rebuilds_smaller_store(self, tmp_path):
+        """Resuming with a smaller --frame-capacity than the run was trained
+        with must not die mid-replay: load_scene rebuilds the store at the
+        snapshot's recorded capacity."""
+        from openobj_tpu.core.checkpoint import load_scene, save_scene
+
+        n_frames, capacity = 20, 6
+        m, poses = self._run_stream(n_frames, capacity)
+        save_scene(str(tmp_path), m)
+
+        cam = Camera(width=32, height=24, fx=20.0, fy=20.0, cx=16.0, cy=12.0)
+        m2 = SceneMapper(cam, m.cfg, frame_capacity=3, initial_bucket=4,
+                         keyframe_buffer_size=4, keyframe_step=2,
+                         keyframe_step_bg=2)
+        load_scene(str(tmp_path), m2)
+        assert m2.store.capacity == capacity
+        scene = synthetic.default_scene(n_spheres=1)
+        dirs = np.asarray(cam.ray_dirs())
+        for i, (rgb, depth, inst, t_wc) in enumerate(
+            synthetic.make_sequence(scene, dirs, n_frames)
+        ):
+            m2.store, _ = append_frame(
+                m2.store, rgb, depth, inst, t_wc, at=m2.frame_slots[i]
+            )
+        np.testing.assert_array_equal(
+            np.asarray(m2.store.packed), np.asarray(m.store.packed)
+        )
+
 
 class TestRegistryPolicy:
     def _mk(self, K=5, step=2):
