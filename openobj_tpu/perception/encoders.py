@@ -246,6 +246,141 @@ class HFCaptioner:
 
 
 # --------------------------------------------------------------------------- #
+# weights-free stand-in encoders (no third-party weights, fully deterministic)
+#
+# These fill the CLIP/SBERT/TAP slots when no model weights are mounted
+# (this container has no egress) so the FULL perception pipeline runs
+# end-to-end first-party. They are honest hand-crafted descriptors, not
+# semantic models: visual similarity (same object seen twice) and lexical
+# similarity (shared caption words) are preserved — which is exactly what
+# the association graph's clip/caption cues consume
+# (/root/reference/maskclustering/mask_graph.py:573-584) — but
+# cross-modal text->image retrieval needs real CLIP weights.
+# --------------------------------------------------------------------------- #
+
+
+class HashingTextEncoder:
+    """Deterministic token-hash bag-of-words text encoder (SBERT slot).
+
+    Each lowercase token hashes (blake2b, seeded) to a signed coordinate of
+    a ``dim``-d vector; the sum is L2-normalized. Identical texts -> cosine
+    1, texts sharing tokens -> proportionally positive cosine, disjoint
+    texts -> ~0. Stands in for the reference's all-MiniLM-L6-v2
+    (mask_gen.py:465-468) in weights-free runs; the bg caption anchoring
+    ('wall' vs a mask captioned 'wall', mask_graph.py:1106-1187) works
+    exactly because equal words collide."""
+
+    def __init__(self, dim: int = 384, seed: int = 0):
+        self.dim = dim
+        self.seed = seed
+
+    def encode_texts(self, texts: list[str]) -> np.ndarray:
+        import hashlib
+
+        out = np.zeros((len(texts), self.dim), np.float32)
+        for i, text in enumerate(texts):
+            for tok in str(text).lower().split():
+                h = hashlib.blake2b(
+                    tok.encode(), digest_size=8, salt=str(self.seed).encode()
+                ).digest()
+                v = int.from_bytes(h, "little")
+                out[i, v % self.dim] += 1.0 if (v >> 60) & 1 else -1.0
+        n = np.linalg.norm(out, axis=-1, keepdims=True)
+        return out / np.maximum(n, 1e-12)
+
+    __call__ = encode_texts
+
+
+class VisualDescriptorEncoder:
+    """Deterministic hand-crafted visual descriptor (CLIP-image slot).
+
+    Per crop: 3x16-bin color histogram + 8x8 downsampled luminance +
+    16-bin gradient-orientation histogram, each block L2-normalized, then
+    projected to ``dim`` through a fixed seeded Gaussian projection and
+    L2-normalized. Two crops of the same surface land close in cosine;
+    different-looking crops don't — the property the association graph's
+    clip cue (mask_graph.py:573-584) and the part-feature distillation
+    target (sam_clip_dir.py:94-111) actually rely on. No text tower:
+    open-vocabulary *queries* need real CLIP weights (HFClipEncoder)."""
+
+    def __init__(self, dim: int = 512, seed: int = 0):
+        self.dim = dim
+        rng = np.random.default_rng(seed)
+        self._proj = rng.normal(
+            size=(48 + 64 + 16, dim)
+        ).astype(np.float32) / np.sqrt(dim)
+
+    def _descriptor(self, im: np.ndarray) -> np.ndarray:
+        im = np.asarray(im, np.float32)
+        if im.ndim == 2:
+            im = im[..., None].repeat(3, -1)
+        npix = max(im.shape[0] * im.shape[1], 1)
+        # each block is normalized by a SCALE-stable denominator, never by
+        # its own norm — a near-zero block (flat crop: no gradients, no
+        # contrast) must stay near zero, not blow up into unit noise
+        hist = np.concatenate([
+            np.histogram(im[..., c], bins=16, range=(0, 255))[0]
+            for c in range(3)
+        ]).astype(np.float32) / npix
+        gray = im.mean(-1)
+        h, w = gray.shape
+        ys = np.clip((np.arange(8) + 0.5) / 8 * h, 0, h - 1).astype(int)
+        xs = np.clip((np.arange(8) + 0.5) / 8 * w, 0, w - 1).astype(int)
+        thumb = gray[np.ix_(ys, xs)].reshape(-1)
+        thumb = (thumb - thumb.mean()) / 255.0
+        gy, gx = np.gradient(gray)
+        mag = np.hypot(gx, gy).reshape(-1)
+        ang = np.arctan2(gy, gx).reshape(-1)
+        ohist, _ = np.histogram(
+            ang, bins=16, range=(-np.pi, np.pi), weights=mag
+        )
+        ohist = ohist.astype(np.float32) / (float(mag.sum()) + npix)
+        return np.concatenate([hist, thumb, ohist])
+
+    def encode_images(self, images: list[np.ndarray]) -> np.ndarray:
+        d = np.stack([self._descriptor(im) for im in images])
+        f = d @ self._proj
+        return f / np.maximum(np.linalg.norm(f, axis=-1, keepdims=True), 1e-12)
+
+    __call__ = encode_images
+
+
+_COLOR_NAMES = (
+    ("red", (200, 40, 40)), ("orange", (230, 140, 40)),
+    ("yellow", (220, 210, 60)), ("green", (60, 170, 70)),
+    ("cyan", (70, 190, 190)), ("blue", (50, 80, 200)),
+    ("purple", (140, 70, 180)), ("brown", (120, 80, 50)),
+    ("white", (235, 235, 235)), ("gray", (128, 128, 128)),
+    ("black", (25, 25, 25)),
+)
+
+
+class ColorNameCaptioner:
+    """Weights-free captioner (TAP slot): names each padded bbox crop by
+    its dominant color — 'a red object'. Deterministic and crude, but it
+    gives the caption cue real discriminative signal under the hashing
+    text encoder (same-colored views of one object agree, different
+    colors disagree), and bg surfaces can still be anchored via GT ids
+    (mask_graph.py:1112-1135) when captions carry no 'wall'/'floor'
+    semantics. Swap HFCaptioner when weights are mounted."""
+
+    def __init__(self, crop_pad: int = 0):
+        self.crop_pad = crop_pad
+
+    def __call__(self, rgb: np.ndarray, bboxes) -> list[str]:
+        caps = []
+        for bb in bboxes:
+            crop = crop_with_padding(rgb, bb, pad=self.crop_pad)
+            mean = np.asarray(crop, np.float32).reshape(-1, 3).mean(0)
+            dists = [
+                ((mean - np.asarray(c, np.float32)) ** 2).sum()
+                for _, c in _COLOR_NAMES
+            ]
+            caps.append(f"a {_COLOR_NAMES[int(np.argmin(dists))][0]} object")
+        return caps
+
+
+# --------------------------------------------------------------------------- #
 # caption subject extraction (reference mask_gen.py:429-440)
 # --------------------------------------------------------------------------- #
 

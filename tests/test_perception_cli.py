@@ -1,0 +1,218 @@
+"""Perception-stage CLIs (openobj-maskgen / -associate / -partfeat) +
+weights-free stand-in encoders: the reference's three pre-training
+programs (mask_gen.py, mask_graph.py, sam_clip_dir.py) run end-to-end on a
+reference-format on-disk scene with zero third-party weights, producing
+the exact artifact contracts the training loader consumes."""
+
+import os
+import pickle
+import shutil
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from openobj_tpu.perception import cli as pcli
+from openobj_tpu.perception.encoders import (
+    ColorNameCaptioner, HashingTextEncoder, VisualDescriptorEncoder,
+)
+from test_dataset_cli import H, W, write_replica_dataset
+
+
+class TestHashingTextEncoder:
+    def test_identity_shared_disjoint(self):
+        e = HashingTextEncoder(dim=384)
+        f = e.encode_texts(["a red ball", "a red ball", "a red box", "wall"])
+        np.testing.assert_allclose(np.linalg.norm(f, axis=-1), 1.0, rtol=1e-6)
+        assert f[0] @ f[1] == pytest.approx(1.0)
+        assert 0.3 < f[0] @ f[2] < 1.0          # shares 'a red'
+        assert abs(f[0] @ f[3]) < 0.2           # disjoint tokens
+
+    def test_deterministic_across_instances(self):
+        a = HashingTextEncoder().encode_texts(["wall"])
+        b = HashingTextEncoder().encode_texts(["wall"])
+        np.testing.assert_array_equal(a, b)
+
+
+class TestVisualDescriptorEncoder:
+    def test_similarity_structure(self):
+        rng = np.random.default_rng(0)
+        e = VisualDescriptorEncoder(dim=64)
+        red = np.zeros((24, 30, 3), np.uint8)
+        red[..., 0] = 200
+        red_noisy = np.clip(
+            red.astype(int) + rng.integers(-8, 8, red.shape), 0, 255
+        ).astype(np.uint8)
+        blue = np.zeros((24, 30, 3), np.uint8)
+        blue[..., 2] = 200
+        f = e.encode_images([red, red_noisy, blue])
+        np.testing.assert_allclose(np.linalg.norm(f, axis=-1), 1.0, rtol=1e-5)
+        assert f[0] @ f[1] > 0.9                # same surface, noise
+        assert f[0] @ f[1] > f[0] @ f[2] + 0.1  # different color is farther
+
+    def test_deterministic(self):
+        im = np.arange(24 * 30 * 3, dtype=np.uint8).reshape(24, 30, 3)
+        a = VisualDescriptorEncoder(dim=32).encode_images([im])
+        b = VisualDescriptorEncoder(dim=32).encode_images([im])
+        np.testing.assert_array_equal(a, b)
+
+
+class TestColorNameCaptioner:
+    def test_dominant_color_names(self):
+        img = np.zeros((40, 40, 3), np.uint8)
+        img[:, :20] = (200, 40, 40)    # red
+        img[:, 20:] = (50, 80, 200)    # blue
+        caps = ColorNameCaptioner()(img, [(0, 40, 0, 20), (0, 40, 20, 40)])
+        assert caps == ["a red object", "a blue object"]
+
+
+class TestAssocYaml:
+    def test_reference_schema_roundtrip(self, tmp_path):
+        yaml = pytest.importorskip("yaml")
+        y = {
+            "skip": 10, "graph_method": "weighted", "if_bg": 1,
+            "gt_wall_id": 93, "gt_floor_id": 40, "gt_ceiling_id": 31,
+            "captions_wall": ["wall"],
+            "weight_geo": 0.30, "weight_cap": 0.20, "weight_clip": 0.30,
+            "weight_color": 0.20, "weight_geo_2d": 0.60,
+            "cap_thre": 0.85, "weight_pc": 0.6, "dis_thre": 0.05,
+            "weightcaption": 0.3, "weightcolor": 0.6,
+            "image_W": 1200, "image_H": 680, "depth_scale": 1000,
+            "fx": 600, "fy": 600, "cx": 599.5, "cy": 339.5,
+        }
+        p = tmp_path / "room_0.yaml"
+        p.write_text(yaml.safe_dump(y))
+        cfg = pcli._assoc_config_from_yaml(pcli.load_assoc_yaml(str(p)))
+        assert cfg.fx == 600 and cfg.cy == 339.5
+        assert cfg.weights == {
+            "geo": 0.30, "cap": 0.20, "clip": 0.30,
+            "color": 0.20, "geo2d": 0.60,
+        }
+        assert cfg.gt_bg_ids == {"wall": 93, "floor": 40, "ceiling": 31}
+        assert cfg.cap_thre == 0.85 and cfg.weight_caption == 0.3
+
+    def test_threshold_mode_uses_thresholds(self):
+        y = dict(pcli._YAML_DEFAULTS, graph_method="threshold")
+        cfg = pcli._assoc_config_from_yaml(y)
+        assert cfg.graph_method == "threshold"
+        assert cfg.weights["geo"] == y["threshold_geo"]
+        assert not cfg.use_geo2d
+
+
+class TestFullWorkflow:
+    """rgb/depth/traj on disk -> maskgen -> associate -> partfeat -> the
+    training loader reads the regenerated artifacts. No model weights."""
+
+    @pytest.fixture(scope="class")
+    def scene(self, tmp_path_factory):
+        root = str(tmp_path_factory.mktemp("ws") / "scene")
+        write_replica_dataset(root, n_raw_frames=40)
+        # stash the fixture's GT instance images as the GT-semantic input
+        # (the associate stage will overwrite instance_our with its own)
+        gt_dir = os.path.join(root, "gt_semantic")
+        shutil.copytree(os.path.join(root, "instance_our"), gt_dir)
+        return root
+
+    @pytest.fixture(scope="class")
+    def ran_maskgen(self, scene):
+        rc = pcli.maskgen_main([
+            scene, "--skip", "10", "--min-px", "30",
+            "--seg-min-size", "16", "--clip-dim", "64", "--crop-pad", "4",
+        ])
+        assert rc == 0
+        return scene
+
+    def test_maskgen_contract(self, ran_maskgen):
+        with open(os.path.join(ran_maskgen, "mask_init_all.pkl"), "rb") as f:
+            mi = pickle.load(f)
+        assert set(mi) == {0, 1, 2, 3}
+        fm = mi[0]
+        assert set(fm) == {"mask", "bbox", "caption", "capfeat", "clipfeat"}
+        assert len(fm["mask"]) >= 2            # wall + at least one sphere
+        assert fm["mask"][0].shape == (H, W) and fm["mask"][0].dtype == bool
+        # masks are disjoint (rank-ordered id image)
+        total = np.zeros((H, W), int)
+        for m in fm["mask"]:
+            total += m
+        assert total.max() == 1
+        assert all(c.endswith("object") for c in fm["caption"])
+        assert np.allclose(
+            np.linalg.norm(np.stack(fm["clipfeat"]), axis=-1), 1.0, rtol=1e-5
+        )
+
+    @pytest.fixture(scope="class")
+    def ran_associate(self, ran_maskgen, tmp_path_factory):
+        yaml = pytest.importorskip("yaml")
+        ycfg = {
+            "skip": 10, "graph_method": "weighted", "if_bg": 1,
+            "gt_wall_id": 1, "captions_wall": ["wall"],
+            "depth_scale": 1000,
+            "fx": 40.0, "fy": 40.0, "cx": 32.0, "cy": 24.0,
+            "cap_thre": 0.85,
+        }
+        p = tmp_path_factory.mktemp("cfg") / "scene.yaml"
+        p.write_text(yaml.safe_dump(ycfg))
+        rc = pcli.associate_main([
+            ran_maskgen, "--config", str(p),
+            "--gt-semantic-glob",
+            os.path.join(ran_maskgen, "gt_semantic", "*.png"),
+            "--dbscan-min-points", "10", "--dbscan-eps", "0.2",
+            "--min-component-px", "20",
+        ])
+        assert rc == 0
+        return ran_maskgen
+
+    def test_associate_artifacts(self, ran_associate):
+        root = ran_associate
+        imgs = [
+            cv2.imread(
+                os.path.join(root, "instance_our",
+                             f"semantic_instance_{i}.png"),
+                cv2.IMREAD_UNCHANGED,
+            )
+            for i in range(4)
+        ]
+        assert all(im is not None and im.shape == (H, W) for im in imgs)
+        with open(os.path.join(root, "object_clipfeat.pkl"), "rb") as f:
+            clip_pkl = pickle.load(f)
+        with open(os.path.join(root, "object_caption.pkl"), "rb") as f:
+            cap_pkl = pickle.load(f)
+        assert len(clip_pkl) == 4
+        # GT bg anchoring: the wall cluster took reserved id 1 and it
+        # dominates every frame (mask_graph.py:854-855,1112-1135)
+        for im in imgs:
+            vals, counts = np.unique(im, return_counts=True)
+            assert vals[np.argmax(counts)] == 1
+        # association consistency: some non-bg global id persists across
+        # at least 2 frames with a consistent feature key
+        obj_ids = [set(d) - {1, 2, 3} for d in clip_pkl]
+        persistent = set.intersection(*obj_ids[:2])
+        assert persistent, f"no persistent object ids: {obj_ids}"
+        assert all(isinstance(c, str) for d in cap_pkl for c in d.values())
+
+    @pytest.fixture(scope="class")
+    def ran_partfeat(self, ran_associate):
+        rc = pcli.partfeat_main([
+            ran_associate, "--skip", "10", "--down", "5",
+            "--clip-dim", "8", "--seg-min-size", "16",
+        ])
+        assert rc == 0
+        return ran_associate
+
+    def test_partfeat_contract(self, ran_partfeat):
+        pf = np.load(os.path.join(ran_partfeat, "partlevel", "0.npy"))
+        assert pf.shape == (H // 5, W // 5, 8)
+        assert np.isfinite(pf).all() and np.abs(pf).max() > 0
+
+    def test_loader_reads_regenerated_artifacts(self, ran_partfeat):
+        from openobj_tpu.data.loaders import Replica
+
+        ds = Replica(ran_partfeat, stride=10, part_mode=True, part_down=5)
+        assert len(ds) == 4
+        s = ds[0]
+        assert s.rgb.shape == (H, W, 3)
+        assert s.part_feat.shape == (H // 5, W // 5, 8)
+        # bg slot present (wall -> 0) and at least one object instance
+        assert 0 in s.bboxes
+        assert (s.inst > 3).any()
