@@ -152,8 +152,11 @@ def maskgen_main(argv=None):
     ap.add_argument("--score-thresh", type=float, default=0.5)
     ap.add_argument("--min-px", type=int, default=100)
     ap.add_argument("--crop-pad", type=int, default=20)
-    ap.add_argument("--seg-k", type=float, default=0.08)
+    ap.add_argument("--seg-k", type=float, default=3.0)
     ap.add_argument("--seg-min-size", type=int, default=64)
+    ap.add_argument("--seg-stride", type=int, default=2,
+                    help="segmentation subsample stride; use 1 for small "
+                         "frames so min-size objects survive")
     ap.add_argument("--captioner", choices=("color", "hf"), default="color",
                     help="'color' = ColorNameCaptioner (weights-free), "
                          "'hf' = transformers BLIP from --captioner-model")
@@ -164,7 +167,8 @@ def maskgen_main(argv=None):
 
     frames = RawFrames(args.scene_dir, args.format,
                        args.depth_scale, args.max_depth)
-    segmenter = GraphSegmenter(k=args.seg_k, min_size=args.seg_min_size)
+    segmenter = GraphSegmenter(k=args.seg_k, min_size=args.seg_min_size,
+                               stride=args.seg_stride)
     captioner = (
         enc.HFCaptioner(args.captioner_model, crop_pad=args.crop_pad)
         if args.captioner == "hf" else enc.ColorNameCaptioner()
@@ -277,6 +281,12 @@ def associate_main(argv=None):
     ap.add_argument("--min-component-px", type=int, default=100)
     ap.add_argument("--dbscan-min-points", type=int, default=100)
     ap.add_argument("--dbscan-eps", type=float, default=0.05)
+    ap.add_argument("--geo-bg", action="store_true",
+                    help="geometric bg anchoring: large thin planes -> "
+                         "reserved wall/floor/ceiling ids (weights-free "
+                         "stand-in for TAP caption anchoring)")
+    ap.add_argument("--geo-bg-up-axis", type=int, default=2)
+    ap.add_argument("--geo-bg-min-extent", type=float, default=2.0)
     _add_encoder_flags(ap)
     args = ap.parse_args(argv)
 
@@ -286,6 +296,9 @@ def associate_main(argv=None):
     acfg.min_component_px = args.min_component_px
     acfg.dbscan_min_points = args.dbscan_min_points
     acfg.dbscan_eps = args.dbscan_eps
+    acfg.geo_bg = bool(args.geo_bg or y.get("if_bg_geo"))
+    acfg.geo_bg_up_axis = args.geo_bg_up_axis
+    acfg.geo_bg_min_extent = args.geo_bg_min_extent
 
     mask_init = enc.load_mask_init(
         args.mask_init or os.path.join(args.scene_dir, "mask_init_all.pkl")
@@ -379,16 +392,18 @@ def partfeat_main(argv=None):
                     help="crop bbox enlargement (sam_clip_dir.py:42-59)")
     ap.add_argument("--depth-scale", type=float, default=1e-3)
     ap.add_argument("--max-depth", type=float, default=10.0)
-    ap.add_argument("--seg-k", type=float, default=0.05,
+    ap.add_argument("--seg-k", type=float, default=1.0,
                     help="finer than maskgen's default: part-level masks "
                          "are SAM's over-segmentation, not entities")
     ap.add_argument("--seg-min-size", type=int, default=32)
+    ap.add_argument("--seg-stride", type=int, default=2)
     _add_encoder_flags(ap)
     args = ap.parse_args(argv)
 
     frames = RawFrames(args.scene_dir, args.format,
                        args.depth_scale, args.max_depth)
-    segmenter = GraphSegmenter(k=args.seg_k, min_size=args.seg_min_size)
+    segmenter = GraphSegmenter(k=args.seg_k, min_size=args.seg_min_size,
+                               stride=args.seg_stride)
     clip_fn = _clip_encoder(args)
     out_dir = args.out_dir or os.path.join(args.scene_dir, "partlevel")
     os.makedirs(out_dir, exist_ok=True)

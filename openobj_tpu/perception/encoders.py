@@ -328,13 +328,16 @@ class VisualDescriptorEncoder:
         xs = np.clip((np.arange(8) + 0.5) / 8 * w, 0, w - 1).astype(int)
         thumb = gray[np.ix_(ys, xs)].reshape(-1)
         thumb = (thumb - thumb.mean()) / 255.0
-        gy, gx = np.gradient(gray)
-        mag = np.hypot(gx, gy).reshape(-1)
-        ang = np.arctan2(gy, gx).reshape(-1)
-        ohist, _ = np.histogram(
-            ang, bins=16, range=(-np.pi, np.pi), weights=mag
-        )
-        ohist = ohist.astype(np.float32) / (float(mag.sum()) + npix)
+        if min(h, w) >= 2:      # np.gradient needs >= 2 samples per axis
+            gy, gx = np.gradient(gray)
+            mag = np.hypot(gx, gy).reshape(-1)
+            ang = np.arctan2(gy, gx).reshape(-1)
+            ohist, _ = np.histogram(
+                ang, bins=16, range=(-np.pi, np.pi), weights=mag
+            )
+            ohist = ohist.astype(np.float32) / (float(mag.sum()) + npix)
+        else:                   # degenerate sliver crop: no gradient signal
+            ohist = np.zeros(16, np.float32)
         return np.concatenate([hist, thumb, ohist])
 
     def encode_images(self, images: list[np.ndarray]) -> np.ndarray:

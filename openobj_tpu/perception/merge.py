@@ -95,6 +95,53 @@ class GlobalClusters:
         return pcs, caps, cols
 
 
+def classify_bg_hull(
+    points: np.ndarray,
+    scene_aabb: np.ndarray,          # [6] (min_xyz, max_xyz) of ALL clusters
+    up_axis: int = 2,
+    shell_tol: float = 0.10,
+    frac_required: float = 0.75,
+    min_extent: float = 2.0,
+) -> str | None:
+    """Geometric background classification — the weights-free stand-in for
+    the reference's caption anchoring (mask_graph.py:1111-1135, which needs
+    TAP captions literally saying 'wall'/'floor'/'ceiling').
+
+    A cluster is background iff >= ``frac_required`` of its points lie
+    within ``shell_tol`` of the scene's bounding-box shell (walls, floor
+    and ceiling ARE the scene's enclosing surfaces; interior objects are
+    off the shell — a sofa pushed against a wall still fails because its
+    frontside points sit tens of centimeters inside) AND its spread clears
+    ``min_extent`` along some axis (rejects small wall-mounted fixtures).
+    Works for corner unions spanning several planes, where a single
+    plane-fit test fails. Naming: majority vote of each near-shell point's
+    nearest box face — up-max face -> ceiling, up-min -> floor, the four
+    side faces -> wall. Returns the reserved name or None. Opt-in via
+    AssociationConfig.geo_bg; the caption path stays the default whenever
+    real captions are available."""
+    if len(points) < 10:
+        return None
+    pts = np.asarray(points, np.float64)
+    lo, hi = np.asarray(scene_aabb[:3]), np.asarray(scene_aabb[3:])
+    if float((pts.max(0) - pts.min(0)).max()) < min_extent:
+        return None
+    # distance to each of the 6 faces: (axis, min-side) then (axis, max-side)
+    d_lo = pts - lo[None, :]                 # [N, 3] distance to min faces
+    d_hi = hi[None, :] - pts                 # [N, 3] distance to max faces
+    d_all = np.concatenate([d_lo, d_hi], 1)  # [N, 6]
+    nearest = np.argmin(d_all, 1)
+    d_min = d_all[np.arange(len(pts)), nearest]
+    near = d_min < shell_tol
+    if near.mean() < frac_required:
+        return None
+    votes = nearest[near]
+    n_floor = int((votes == up_axis).sum())           # min face along up
+    n_ceil = int((votes == 3 + up_axis).sum())        # max face along up
+    n_wall = len(votes) - n_floor - n_ceil
+    best = max((n_wall, "wall"), (n_floor, "floor"), (n_ceil, "ceiling"))
+    return best[1]
+
+
 def overlap_ratio(pc1: np.ndarray, pc2: np.ndarray, dis_thre: float = 0.02):
     """max of (fraction of pc1 within dis_thre of pc2, vice versa)
     (open3d compute_point_cloud_distance parity, mask_graph.py:839-845)."""
@@ -109,8 +156,11 @@ def second_stage_mapping(
     pcs: dict, caps: dict, cols: dict, bg_feats: dict,
     cap_thre: float = 0.8, dis_thre: float = 0.02,
     weight_pc: float = 0.7, weight_caption: float = 0.7, weight_color: float = 0.7,
+    forced_bg: dict | None = None,
 ):
     """compute_similarity_matrix_thre parity (mask_graph.py:820-895).
+    ``forced_bg`` maps cluster_id -> reserved id (1/2/3), taking precedence
+    over caption anchoring (used by the geometric bg path, classify_bg_plane).
     Returns (mapping {cluster_id: final_id}, next_free_id)."""
     keys = list(pcs.keys())
     n = len(keys)
@@ -131,6 +181,8 @@ def second_stage_mapping(
     ) | (sim_pc > 0.9)
 
     def bg_id_of(i):
+        if forced_bg and keys[i] in forced_bg:
+            return forced_bg[keys[i]]
         for name, rid in RESERVED.items():
             if check_similarity(bg_feats.get(name), cap_l[i], cap_thre):
                 return rid

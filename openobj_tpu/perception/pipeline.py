@@ -60,6 +60,10 @@ class AssociationConfig:
     dbscan_eps: float = 0.05    # scale with pixel footprint: ~2 * depth / fx
     max_depth: float = 10.0
     gt_bg_ids: dict = field(default_factory=dict)  # {"wall": id, ...}
+    geo_bg: bool = False       # geometric bg anchoring (classify_bg_hull)
+    geo_bg_up_axis: int = 2
+    geo_bg_shell_tol: float = 0.10
+    geo_bg_min_extent: float = 2.0
     seed: int = 0
 
 
@@ -141,12 +145,28 @@ def associate(
             clusters.add(cid, ev.points, kept_capft[i][j], ev.color_hist, gt_sem)
     pcs, caps_g, cols_g = clusters.finalize()
 
+    # stage 4.5 (weights-free path): geometric bg anchoring — large thin
+    # planes route to the reserved wall/floor/ceiling ids when captions
+    # carry no bg semantics (classify_bg_plane docstring)
+    forced_bg: dict[int, int] = {}
+    if cfg.geo_bg and pcs:
+        all_pts = np.concatenate([p for p in pcs.values() if len(p)])
+        scene_aabb = np.concatenate([all_pts.min(0), all_pts.max(0)])
+        for cid, pts in pcs.items():
+            name = merge.classify_bg_hull(
+                pts, scene_aabb, up_axis=cfg.geo_bg_up_axis,
+                shell_tol=cfg.geo_bg_shell_tol,
+                min_extent=cfg.geo_bg_min_extent,
+            )
+            if name is not None:
+                forced_bg[cid] = merge.RESERVED[name]
+
     # stage 5: second-stage merge -> final ids
     mapping, n_final = merge.second_stage_mapping(
         pcs, caps_g, cols_g, bg_feats,
         cap_thre=cfg.cap_thre, dis_thre=cfg.dis_thre,
         weight_pc=cfg.weight_pc, weight_caption=cfg.weight_caption,
-        weight_color=cfg.weight_color,
+        weight_color=cfg.weight_color, forced_bg=forced_bg,
     )
     final_ids = [
         [mapping.get(c, 0) for c in fids] for fids in per_frame_ids

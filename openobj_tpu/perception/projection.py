@@ -88,6 +88,28 @@ def color_histogram(rgb: np.ndarray, mask: np.ndarray, bins: int = 32) -> np.nda
     return np.concatenate(hs)
 
 
+def _neighbor_spacing_q90(comp: np.ndarray, depth: np.ndarray,
+                          fx: float, fy: float, cx: float, cy: float) -> float:
+    """90th-percentile 3D distance between 4-neighbor pixel pairs inside
+    ``comp`` (camera frame — distances are pose-invariant)."""
+    h, w = depth.shape
+    uu, vv = np.meshgrid(np.arange(w), np.arange(h))
+    z = depth
+    p = np.stack([(uu - cx) * z / fx, (vv - cy) * z / fy, z], -1)
+    ds = []
+    pair_h = comp[:, :-1] & comp[:, 1:]
+    if pair_h.any():
+        d = np.linalg.norm(p[:, 1:][pair_h] - p[:, :-1][pair_h], axis=-1)
+        ds.append(d)
+    pair_v = comp[:-1, :] & comp[1:, :]
+    if pair_v.any():
+        d = np.linalg.norm(p[1:][pair_v] - p[:-1][pair_v], axis=-1)
+        ds.append(d)
+    if not ds:
+        return 0.0
+    return float(np.percentile(np.concatenate(ds), 90))
+
+
 def project_masks(
     masks: list[np.ndarray],        # per-mask [H, W] bool
     depth: np.ndarray,              # [H, W] float meters
@@ -100,8 +122,18 @@ def project_masks(
     dbscan_eps: float = 0.05,
     dbscan_min_points: int = 100,
     min_points: int = 10,
+    adaptive_eps: bool = True,
 ):
-    """Returns (evidences: list[MaskEvidence], ok: [len(masks)] bool)."""
+    """Returns (evidences: list[MaskEvidence], ok: [len(masks)] bool).
+
+    ``adaptive_eps`` raises the DBSCAN radius per component to
+    2x the 90th-percentile 3D distance between 4-neighbor pixels inside
+    it. A fixed eps assumes a pixel's world footprint (z/fx, stretched by
+    surface slant) — at low resolution or on grazing surfaces adjacent
+    samples land centimeters-to-meters apart and a fixed radius shreds a
+    connected surface into 'noise'. True outliers (depth speckle, bleed
+    across an occlusion step) sit far beyond the surface's own sample
+    spacing, so the denoise still removes them."""
     depth = depth.copy()
     if min_depth > 0:
         depth[depth < min_depth] = 0
@@ -129,8 +161,12 @@ def project_masks(
             z = depth[v, u]
             pts = np.stack([(u - cx) * z / fx, (v - cy) * z / fy, z], -1)
             pts = pts @ t_wc[:3, :3].T + t_wc[:3, 3]
+            eps_c = dbscan_eps
+            if adaptive_eps:
+                eps_c = max(eps_c, 2.0 * _neighbor_spacing_q90(
+                    comp_v, depth, fx, fy, cx, cy))
             pts_kept, keep = dbscan_largest_cluster(
-                pts, eps=dbscan_eps, min_points=dbscan_min_points
+                pts, eps=eps_c, min_points=dbscan_min_points
             )
             # erase dropped points from the mask (mask_graph.py:424-425)
             new_mask[v[~keep], u[~keep]] = False

@@ -13,13 +13,22 @@ Algorithm: Felzenszwalb–Huttenlocher efficient graph segmentation
 4-connected pixel grid, with an RGB-D edge weight:
 
     w(a, b) = (1 - dw) * ||rgb_a - rgb_b||_2 / (255 * sqrt(3))
-            +      dw  * min(1, |z_a - z_b| / (rel * min(z_a, z_b)))
+            +      dw  * min(1, jump(a, b) / (rel * min(z_a, z_b)))
 
-Depth discontinuities are the strongest object-boundary evidence an RGB-D
-frame carries (a relative gap, so a 2 cm step at 0.5 m counts like an 8 cm
-step at 2 m); color separates objects lying flush against their support
-(a book on a desk). Pixels with invalid depth (z <= 0) fall back to the
-color term alone. Components are entities in CropFormer's class-agnostic
+where ``jump`` is the SLOPE-COMPENSATED depth discontinuity: the raw
+difference z_b - z_a minus the slope predicted by the neighboring pixel
+on either side (the larger of the two deviations). A smooth surface —
+however slanted, at whatever resolution — has jump ~ 0 because adjacent
+differences repeat; an occluding step keeps jump ~ |z_b - z_a| because
+neither side's slope predicts it; a crease (wall meets floor) scores the
+slope *change*. A raw first difference would instead charge every edge on
+a slanted surface its full per-pixel depth step, which fragments walls
+viewed at grazing angles and any smooth surface at small image sizes
+(per-pixel slope scales with 1/width). Depth discontinuities are the
+strongest object-boundary evidence an RGB-D frame carries (a relative
+gap, so a 2 cm step at 0.5 m counts like an 8 cm step at 2 m); color
+separates objects lying flush against their support (a book on a desk).
+Pixels with invalid depth (z <= 0) fall back to the color term alone. Components are entities in CropFormer's class-agnostic
 sense — walls and floors segment too, and the association stage's caption
 anchoring (merge.py) is what routes them to the reserved background ids.
 
@@ -86,39 +95,89 @@ def _union_find_segment(n_px: int, edges_a, edges_b, weights, k: float,
 def felzenszwalb_rgbd(
     rgb: np.ndarray,
     depth: np.ndarray | None = None,
-    k: float = 0.08,
+    k: float = 3.0,
     min_size: int = 64,
     depth_weight: float = 0.7,
     rel_depth: float = 0.08,
+    slope_tol: float = 3.0,
 ) -> np.ndarray:
-    """Segment one (sub-sampled) RGB-D frame -> int label image [H, W]."""
+    """Segment one (sub-sampled) RGB-D frame -> int label image [H, W].
+
+    ``slope_tol`` scales the slope-proportional depth tolerance: an edge
+    whose slope-compensated jump stays below slope_tol x the neighboring
+    per-pixel slope is treated as the same surface (admits the hyperbolic
+    curvature of a plane under perspective at any grazing angle, which a
+    fixed relative tolerance cannot — the per-pixel slope scales with
+    1/image-width, so small frames and steep surfaces would fragment)."""
     h, w = rgb.shape[:2]
     col = np.asarray(rgb, np.float64) / 255.0
     idx = np.arange(h * w).reshape(h, w)
 
-    def edge_set(sl_a, sl_b):
+    def _depth_jump(z: np.ndarray):
+        """Slope-compensated discontinuity for edges along axis 1.
+
+        z is [H, W] (transpose for vertical edges); returns a pair of
+        [H, W-1] arrays (jump, nb_slope) — for the edge (i, j)-(i, j+1):
+        jump is the max over both sides of |d1 - neighbor's d1| (a smooth,
+        even slanted, surface repeats d1; an occlusion step matches
+        neither neighbor), and nb_slope is the smaller neighboring |d1|
+        (the surface's own per-pixel depth slope, used to scale the
+        tolerance: a perspective-projected plane's depth is hyperbolic
+        along a pixel row, so its second difference grows with slope —
+        |d2| <= 2 |d1|^2 / z — while a true step dwarfs either side's
+        slope). Missing/invalid neighbors fall back to |d1| / 0.
+        """
+        d1 = z[:, 1:] - z[:, :-1]                       # [H, W-1]
+        valid = (z[:, 1:] > 0) & (z[:, :-1] > 0)
+        big = np.abs(d1).max() + 1.0 if d1.size else 1.0
+        # deviation vs the slope on the left / right of the edge
+        dev_l = np.abs(d1)
+        dev_l[:, 1:] = np.where(valid[:, :-1],
+                                np.abs(d1[:, 1:] - d1[:, :-1]),
+                                dev_l[:, 1:])
+        dev_r = np.abs(d1)
+        dev_r[:, :-1] = np.where(valid[:, 1:],
+                                 np.abs(d1[:, :-1] - d1[:, 1:]),
+                                 dev_r[:, :-1])
+        # smaller neighboring slope (invalid side -> +inf so min picks
+        # the other; both invalid -> 0, disabling the slope tolerance)
+        sl_l = np.full_like(d1, big)
+        sl_l[:, 1:] = np.where(valid[:, :-1], np.abs(d1[:, :-1]), big)
+        sl_r = np.full_like(d1, big)
+        sl_r[:, :-1] = np.where(valid[:, 1:], np.abs(d1[:, 1:]), big)
+        nb = np.minimum(sl_l, sl_r)
+        nb[nb >= big] = 0.0
+        return np.maximum(dev_l, dev_r), nb
+
+    zmap = np.asarray(depth, np.float64) if depth is not None else None
+    if zmap is not None:
+        jump_h, nb_h = _depth_jump(zmap)
+        jv, nv = _depth_jump(zmap.T)
+        jump_v, nb_v = jv.T, nv.T
+    else:
+        jump_h = nb_h = jump_v = nb_v = None
+
+    def edge_set(sl_a, sl_b, jump, nb_slope):
         a = idx[sl_a].reshape(-1)
         b = idx[sl_b].reshape(-1)
         cd = np.sqrt(
             ((col[sl_a] - col[sl_b]) ** 2).sum(-1).reshape(-1) / 3.0
         )
-        if depth is not None:
-            za = np.asarray(depth, np.float64)[sl_a].reshape(-1)
-            zb = np.asarray(depth, np.float64)[sl_b].reshape(-1)
+        if zmap is not None:
+            za = zmap[sl_a].reshape(-1)
+            zb = zmap[sl_b].reshape(-1)
             valid = (za > 0) & (zb > 0)
-            dd = np.minimum(
-                np.abs(za - zb) / np.maximum(rel_depth * np.minimum(za, zb),
-                                             1e-6),
-                1.0,
-            )
+            tol = np.maximum(rel_depth * np.minimum(za, zb),
+                             slope_tol * nb_slope.reshape(-1))
+            dd = np.minimum(jump.reshape(-1) / np.maximum(tol, 1e-6), 1.0)
             wgt = np.where(valid,
                            (1 - depth_weight) * cd + depth_weight * dd, cd)
         else:
             wgt = cd
         return a, b, wgt
 
-    ar, br, wr = edge_set(np.s_[:, :-1], np.s_[:, 1:])    # right
-    ad, bd, wd = edge_set(np.s_[:-1, :], np.s_[1:, :])    # down
+    ar, br, wr = edge_set(np.s_[:, :-1], np.s_[:, 1:], jump_h, nb_h)  # right
+    ad, bd, wd = edge_set(np.s_[:-1, :], np.s_[1:, :], jump_v, nb_v)  # down
     ea = np.concatenate([ar, ad])
     eb = np.concatenate([br, bd])
     ws = np.concatenate([wr, wd])
@@ -142,15 +201,17 @@ class GraphSegmenter:
     that jitter by design.
     """
 
-    def __init__(self, k: float = 0.08, min_size: int = 64,
+    def __init__(self, k: float = 3.0, min_size: int = 64,
                  depth_weight: float = 0.7, rel_depth: float = 0.08,
-                 stride: int = 2, max_masks: int = 64):
+                 stride: int = 2, max_masks: int = 64,
+                 slope_tol: float = 3.0):
         self.k = k
         self.min_size = min_size
         self.depth_weight = depth_weight
         self.rel_depth = rel_depth
         self.stride = stride
         self.max_masks = max_masks
+        self.slope_tol = slope_tol
 
     def __call__(self, rgb: np.ndarray, depth: np.ndarray | None = None):
         h, w = rgb.shape[:2]
@@ -159,7 +220,7 @@ class GraphSegmenter:
         depth_s = depth[::s, ::s] if depth is not None else None
         labels = felzenszwalb_rgbd(
             rgb_s, depth_s, self.k, self.min_size,
-            self.depth_weight, self.rel_depth,
+            self.depth_weight, self.rel_depth, self.slope_tol,
         )
         if s > 1:   # nearest-neighbor upsample back to [H, W]
             labels = labels.repeat(s, 0)[:h].repeat(s, 1)[:, :w]

@@ -205,6 +205,56 @@ class TestFullWorkflow:
         assert pf.shape == (H // 5, W // 5, 8)
         assert np.isfinite(pf).all() and np.abs(pf).max() > 0
 
+    def test_run_scenes_perception_auto(self, tmp_path):
+        """run_scenes --perception auto: a scene dir holding ONLY raw
+        rgb/depth/traj trains end-to-end — the driver detects the missing
+        association artifacts, generates them with the weights-free
+        perception stages, then trains/exports/evals as usual. This is
+        the complete reference workflow (README.md:72-118) in one
+        command with zero third-party weights."""
+        import json
+        import sys
+
+        sys.path.insert(0, "scripts")
+        import run_scenes
+
+        from test_dataset_cli import _config_json
+
+        scene_root = tmp_path / "data" / "sceneA"
+        write_replica_dataset(str(scene_root), n_raw_frames=20)
+        # strip everything the perception stages are supposed to produce
+        for d in ("instance_our", "class_our", "partlevel"):
+            shutil.rmtree(scene_root / d)
+        for f in ("object_clipfeat.pkl", "object_capfeat.pkl"):
+            os.remove(scene_root / f)
+
+        cfg_dir = tmp_path / "configs"
+        os.makedirs(cfg_dir)
+        cfg_path = _config_json(str(scene_root), tmp_path)
+        cfg = json.load(open(cfg_path))
+        cfg["render"]["iters_per_frame"] = 15
+        cfg["vis"]["if_render"] = 1
+        json.dump(cfg, open(cfg_dir / "sceneA.json", "w"))
+
+        out = tmp_path / "runs"
+        run_scenes.main([str(cfg_dir), "--out", str(out), "--eval",
+                         "--n-classes", "8", "--perception", "auto"])
+        summary = json.load(open(out / "summary.json"))
+        assert summary["sceneA"]["status"] == "ok"
+        assert summary["sceneA"]["objects"] >= 1
+        # regenerated artifacts exist and match the loader contract
+        assert os.path.exists(scene_root / "object_clipfeat.pkl")
+        assert os.path.exists(scene_root / "instance_our"
+                              / "semantic_instance_0.png")
+        assert os.path.exists(scene_root / "partlevel" / "0.npy")
+        ev = summary["sceneA"]["eval"]
+        assert ev["psnr"] > 12          # reconstruction is real
+        assert ev["depth_l1"] < 2.0
+        # instance association is real: GT spheres recovered as coherent
+        # cross-frame objects (not fragments); bar set at ~60% of the
+        # measured 0.55 to absorb training-run variance
+        assert ev["inst_miou"] > 0.33
+
     def test_loader_reads_regenerated_artifacts(self, ran_partfeat):
         from openobj_tpu.data.loaders import Replica
 
