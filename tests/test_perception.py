@@ -275,3 +275,124 @@ class TestAssociateEndToEnd:
         feats = load_object_features(str(tmp_path))
         assert feats["caption"][0][4] == "a chair"
         assert feats["clipfeat"][0][4].shape == (512,)
+
+
+class TestGeoBgAnchor:
+    """classify_bg_hull: weights-free wall/floor/ceiling anchoring."""
+
+    AABB = np.asarray([-3.0, -3.0, -2.0, 3.0, 3.0, 2.0])
+
+    def _grid2d(self, n=400, lo=-3, hi=3, rng=None):
+        rng = rng or np.random.default_rng(0)
+        return rng.uniform(lo, hi, (n, 2))
+
+    def test_floor_and_ceiling(self):
+        uv = self._grid2d()
+        floor = np.column_stack([uv, np.full(len(uv), -2.0)])
+        ceil = np.column_stack([uv, np.full(len(uv), 2.0)])
+        assert merge.classify_bg_hull(floor, self.AABB) == "floor"
+        assert merge.classify_bg_hull(ceil, self.AABB) == "ceiling"
+
+    def test_wall(self):
+        rng = np.random.default_rng(1)
+        yz = np.column_stack([rng.uniform(-3, 3, 400), rng.uniform(-2, 2, 400)])
+        wall = np.column_stack([np.full(len(yz), 3.0), yz])
+        assert merge.classify_bg_hull(wall, self.AABB) == "wall"
+
+    def test_corner_union_of_two_walls_is_wall(self):
+        # a Louvain cluster spanning two adjoining walls fails any single
+        # plane fit but still sits on the boundary shell
+        rng = np.random.default_rng(2)
+        a = np.column_stack([np.full(200, 3.0), rng.uniform(0, 3, 200),
+                             rng.uniform(-2, 2, 200)])
+        b = np.column_stack([rng.uniform(0, 3, 200), np.full(200, 3.0),
+                             rng.uniform(-2, 2, 200)])
+        assert merge.classify_bg_hull(np.concatenate([a, b]),
+                                      self.AABB) == "wall"
+
+    def test_interior_object_rejected(self):
+        rng = np.random.default_rng(3)
+        ball = rng.normal(size=(300, 3)) * 0.5          # centered blob
+        assert merge.classify_bg_hull(ball, self.AABB) is None
+
+    def test_sofa_against_wall_rejected(self):
+        # 2m-long sofa whose back touches x=3: the front face sits ~0.8 m
+        # inside the room, so the near-shell fraction fails
+        rng = np.random.default_rng(4)
+        sofa = np.column_stack([
+            rng.uniform(2.2, 3.0, 500),   # depth off the wall
+            rng.uniform(-1.0, 1.0, 500),
+            rng.uniform(-2.0, -1.2, 500),
+        ])
+        assert merge.classify_bg_hull(sofa, self.AABB) is None
+
+    def test_small_fixture_rejected_by_extent(self):
+        # a thin 0.5 m picture frame flat on the wall: on the shell but
+        # below min_extent
+        rng = np.random.default_rng(5)
+        pic = np.column_stack([
+            np.full(200, 3.0),
+            rng.uniform(0.0, 0.5, 200),
+            rng.uniform(0.0, 0.4, 200),
+        ])
+        assert merge.classify_bg_hull(pic, self.AABB) is None
+
+
+class TestAdaptiveEps:
+    def test_grazing_surface_survives(self):
+        """A slanted plane whose 3D pixel spacing exceeds a fixed DBSCAN
+        eps must survive projection intact with adaptive_eps (default)."""
+        h, w = 24, 32
+        fx = fy = 20.0
+        cx, cy = (w - 1) / 2, (h - 1) / 2
+        uu, vv = np.meshgrid(np.arange(w), np.arange(h))
+        # plane sweeping depth 2 -> 8 m across the image: ~0.2 m/px steps
+        depth = (2.0 + 6.0 * uu / (w - 1)).astype(np.float32)
+        rgb = np.full((h, w, 3), 128, np.uint8)
+        mask = np.ones((h, w), bool)
+        evs, ok = projection.project_masks(
+            [mask], depth, rgb, np.eye(4, dtype=np.float32),
+            fx, fy, cx, cy, max_depth=10.0, min_component_px=10,
+            dbscan_min_points=10, dbscan_eps=0.05,
+        )
+        assert ok[0]
+        # the whole plane survives (fixed eps=0.05 would shred it)
+        assert evs[0].mask.sum() > 0.9 * mask.sum()
+
+    def test_fixed_eps_still_available(self):
+        h, w = 24, 32
+        fx = fy = 20.0
+        cx, cy = (w - 1) / 2, (h - 1) / 2
+        uu, _ = np.meshgrid(np.arange(w), np.arange(h))
+        depth = (2.0 + 6.0 * uu / (w - 1)).astype(np.float32)
+        rgb = np.full((h, w, 3), 128, np.uint8)
+        mask = np.ones((h, w), bool)
+        evs, ok = projection.project_masks(
+            [mask], depth, rgb, np.eye(4, dtype=np.float32),
+            fx, fy, cx, cy, max_depth=10.0, min_component_px=10,
+            dbscan_min_points=10, dbscan_eps=0.05, adaptive_eps=False,
+        )
+        # fixed tiny eps keeps at most a narrow depth band
+        kept = evs[0].mask.sum() if ok[0] else 0
+        assert kept < 0.9 * mask.sum()
+
+    def test_outlier_speckle_still_removed(self):
+        """Adaptive eps must not grow so large that true depth speckle
+        (a far-away blob inside the mask) survives the denoise."""
+        h, w = 24, 32
+        fx = fy = 200.0                        # fine spacing: ~5 mm/px
+        cx, cy = (w - 1) / 2, (h - 1) / 2
+        depth = np.full((h, w), 1.0, np.float32)
+        depth[2:4, 2:4] = 9.0                  # speckle 8 m behind
+        rgb = np.full((h, w, 3), 128, np.uint8)
+        mask = np.ones((h, w), bool)
+        evs, ok = projection.project_masks(
+            [mask], depth, rgb, np.eye(4, dtype=np.float32),
+            fx, fy, cx, cy, max_depth=10.0, min_component_px=10,
+            dbscan_min_points=10, dbscan_eps=0.01,
+        )
+        assert ok[0]
+        assert not evs[0].mask[2:4, 2:4].any()
+        # the plane survives (minus the speckle and a small min_samples
+        # ring around the hole)
+        assert evs[0].mask.sum() >= 0.95 * mask.sum()
