@@ -81,6 +81,12 @@ def load():
         ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_double,
         ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8),
     ]
+    lib.felz_union_find.restype = ctypes.c_int
+    lib.felz_union_find.argtypes = [
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_double, ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+    ]
     _lib = lib
     return lib
 
@@ -135,6 +141,31 @@ def voxel_downsample(points: np.ndarray, voxel: float) -> np.ndarray:
     if n < 0:
         raise RuntimeError("voxel_downsample overflow")
     return out[:n].astype(points.dtype)
+
+
+def felz_union_find(edges_a: np.ndarray, edges_b: np.ndarray,
+                    weights: np.ndarray, n_px: int, k: float,
+                    min_size: int):
+    """Felzenszwalb merge pass over pre-sorted edges -> per-pixel root
+    labels, or None when the native library is unavailable (caller falls
+    back to the Python loop in perception/segmentation.py)."""
+    lib = load()
+    if lib is None:
+        return None
+    ea = np.ascontiguousarray(edges_a, np.int64)
+    eb = np.ascontiguousarray(edges_b, np.int64)
+    ws = np.ascontiguousarray(weights, np.float64)
+    labels = np.empty(n_px, np.int64)
+    r = lib.felz_union_find(
+        ea.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        eb.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ws.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        len(ea), n_px, ctypes.c_double(k), min_size,
+        labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    if r != 0:
+        return None
+    return labels
 
 
 def dbscan_largest_raw(points: np.ndarray, eps: float, min_points: int):

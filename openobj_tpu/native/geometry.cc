@@ -13,7 +13,10 @@
 //   * grid_dbscan_largest: largest-density-cluster filter, the inner loop
 //     of the mask-denoise stage (uniform-grid neighborhood counting +
 //     BFS flood fill — equivalent to DBSCAN with euclidean eps on CPU).
+//   * felz_union_find: the Felzenszwalb segmentation merge pass over
+//     pre-sorted edges (perception/segmentation.py's sequential hot loop).
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <cmath>
@@ -267,6 +270,56 @@ int64_t grid_dbscan_largest(
     kept += keep_mask[i];
   }
   return kept;
+}
+
+// ------------------------------------------------------------------------- //
+// Felzenszwalb-Huttenlocher graph-segmentation merge pass (the sequential
+// union-find over weight-sorted edges — perception/segmentation.py's hot
+// loop; the edge construction/sorting stays numpy). Same semantics as the
+// Python _union_find_segment: MInt merge rule, then a min_size cleanup
+// absorbing small components across their cheapest boundary edge, then
+// root labels per pixel. Edges MUST be pre-sorted by weight ascending.
+int felz_union_find(const int64_t* ea, const int64_t* eb, const double* w,
+                    int64_t n_edges, int64_t n_px, double k,
+                    int64_t min_size, int64_t* labels_out) {
+  if (n_px <= 0) return 0;
+  std::vector<int64_t> parent((size_t)n_px);
+  std::vector<int64_t> size((size_t)n_px, 1);
+  std::vector<double> internal((size_t)n_px, 0.0);
+  for (int64_t i = 0; i < n_px; ++i) parent[(size_t)i] = i;
+  auto find = [&](int64_t x) {
+    int64_t root = x;
+    while (parent[(size_t)root] != root) root = parent[(size_t)root];
+    while (parent[(size_t)x] != root) {
+      int64_t nxt = parent[(size_t)x];
+      parent[(size_t)x] = root;
+      x = nxt;
+    }
+    return root;
+  };
+  for (int64_t e = 0; e < n_edges; ++e) {
+    int64_t ra = find(ea[e]), rb = find(eb[e]);
+    if (ra == rb) continue;
+    double mint_a = internal[(size_t)ra] + k / (double)size[(size_t)ra];
+    double mint_b = internal[(size_t)rb] + k / (double)size[(size_t)rb];
+    if (w[e] <= (mint_a < mint_b ? mint_a : mint_b)) {
+      if (size[(size_t)ra] < size[(size_t)rb]) std::swap(ra, rb);
+      parent[(size_t)rb] = ra;
+      size[(size_t)ra] += size[(size_t)rb];
+      internal[(size_t)ra] = w[e];  // edges arrive sorted: w is the max
+    }
+  }
+  for (int64_t e = 0; e < n_edges; ++e) {
+    int64_t ra = find(ea[e]), rb = find(eb[e]);
+    if (ra != rb && (size[(size_t)ra] < min_size ||
+                     size[(size_t)rb] < min_size)) {
+      if (size[(size_t)ra] < size[(size_t)rb]) std::swap(ra, rb);
+      parent[(size_t)rb] = ra;
+      size[(size_t)ra] += size[(size_t)rb];
+    }
+  }
+  for (int64_t i = 0; i < n_px; ++i) labels_out[i] = find(i);
+  return 0;
 }
 
 }  // extern "C"

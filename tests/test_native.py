@@ -168,3 +168,51 @@ class TestNativeLouvain:
         assert ids[0] == ids[1] == ids[2]
         assert ids[3] == ids[4] == ids[5]
         assert ids[0] != ids[3]
+
+
+class TestFelzUnionFind:
+    def test_matches_python_partition(self):
+        """Native felz_union_find produces the identical segmentation
+        partition as the pure-Python fallback on a textured RGB-D frame."""
+        from openobj_tpu import native
+        from openobj_tpu.perception import segmentation as seg
+
+        if native.load() is None:
+            pytest.skip("native geometry unavailable")
+        rng = np.random.default_rng(3)
+        h, w = 60, 80
+        rgb = (rng.uniform(0, 255, (h, w, 3)) * 0.2 + 120).astype(np.uint8)
+        rgb[20:35, 25:50] = [200, 40, 40]
+        yy, xx = np.meshgrid(np.linspace(-1, 1, h), np.linspace(-1, 1, w),
+                             indexing="ij")
+        depth = (2.0 + 2.0 * np.hypot(yy, xx)).astype(np.float32)
+        depth[20:35, 25:50] = 1.0
+
+        lab_native = seg.felzenszwalb_rgbd(rgb, depth, 3.0, 48)
+        orig = native.felz_union_find
+        native.felz_union_find = lambda *a, **k: None  # force Python path
+        try:
+            lab_py = seg.felzenszwalb_rgbd(rgb, depth, 3.0, 48)
+        finally:
+            native.felz_union_find = orig
+
+        def canon(lab):
+            _, inv = np.unique(lab, return_inverse=True)
+            return inv.reshape(lab.shape)
+
+        assert np.array_equal(canon(lab_native), canon(lab_py))
+
+    def test_direct_call_simple_chain(self):
+        from openobj_tpu import native
+
+        if native.load() is None:
+            pytest.skip("native geometry unavailable")
+        # 4 pixels, chain edges: 0-1 (w 0), 1-2 (w 0), 2-3 (w 10); k=1 so
+        # the cheap edges merge and the expensive one does not; min_size=1
+        labels = native.felz_union_find(
+            np.asarray([0, 1, 2]), np.asarray([1, 2, 3]),
+            np.asarray([0.0, 0.0, 10.0]), 4, 1.0, 1,
+        )
+        assert labels is not None
+        assert labels[0] == labels[1] == labels[2]
+        assert labels[3] != labels[0]
