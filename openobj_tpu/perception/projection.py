@@ -88,14 +88,21 @@ def color_histogram(rgb: np.ndarray, mask: np.ndarray, bins: int = 32) -> np.nda
     return np.concatenate(hs)
 
 
-def _neighbor_spacing_q90(comp: np.ndarray, depth: np.ndarray,
-                          fx: float, fy: float, cx: float, cy: float) -> float:
-    """90th-percentile 3D distance between 4-neighbor pixel pairs inside
-    ``comp`` (camera frame — distances are pose-invariant)."""
+def _pixel_point_map(depth: np.ndarray, fx: float, fy: float,
+                     cx: float, cy: float) -> np.ndarray:
+    """[H, W, 3] camera-frame backprojection of every pixel (distances are
+    pose-invariant, so the camera frame suffices for spacing stats).
+    Computed ONCE per frame and shared across every component's
+    _neighbor_spacing_q90 call."""
     h, w = depth.shape
     uu, vv = np.meshgrid(np.arange(w), np.arange(h))
-    z = depth
-    p = np.stack([(uu - cx) * z / fx, (vv - cy) * z / fy, z], -1)
+    return np.stack([(uu - cx) * depth / fx, (vv - cy) * depth / fy, depth],
+                    -1)
+
+
+def _neighbor_spacing_q90(comp: np.ndarray, p: np.ndarray) -> float:
+    """90th-percentile 3D distance between 4-neighbor pixel pairs inside
+    ``comp``, given the frame's pixel point map ``p`` [H, W, 3]."""
     ds = []
     pair_h = comp[:, :-1] & comp[:, 1:]
     if pair_h.any():
@@ -140,6 +147,8 @@ def project_masks(
     if max_depth > 0:
         depth[depth > max_depth] = 0
     depth_valid = depth > 0
+    pmap = (_pixel_point_map(depth, fx, fy, cx, cy)
+            if adaptive_eps else None)
 
     out: list[MaskEvidence] = []
     ok = np.ones(len(masks), bool)
@@ -163,8 +172,7 @@ def project_masks(
             pts = pts @ t_wc[:3, :3].T + t_wc[:3, 3]
             eps_c = dbscan_eps
             if adaptive_eps:
-                eps_c = max(eps_c, 2.0 * _neighbor_spacing_q90(
-                    comp_v, depth, fx, fy, cx, cy))
+                eps_c = max(eps_c, 2.0 * _neighbor_spacing_q90(comp_v, pmap))
             pts_kept, keep = dbscan_largest_cluster(
                 pts, eps=eps_c, min_points=dbscan_min_points
             )
