@@ -281,6 +281,10 @@ def associate_main(argv=None):
     ap.add_argument("--min-component-px", type=int, default=100)
     ap.add_argument("--dbscan-min-points", type=int, default=100)
     ap.add_argument("--dbscan-eps", type=float, default=0.05)
+    ap.add_argument("--fixed-eps", action="store_true",
+                    help="disable the adaptive per-component DBSCAN radius "
+                         "(reference fixed-eps denoise parity, "
+                         "mask_graph.py:244-316)")
     ap.add_argument("--geo-bg", action="store_true",
                     help="geometric bg anchoring: large thin planes -> "
                          "reserved wall/floor/ceiling ids (weights-free "
@@ -296,6 +300,7 @@ def associate_main(argv=None):
     acfg.min_component_px = args.min_component_px
     acfg.dbscan_min_points = args.dbscan_min_points
     acfg.dbscan_eps = args.dbscan_eps
+    acfg.adaptive_eps = not args.fixed_eps
     acfg.geo_bg = bool(args.geo_bg or y.get("if_bg_geo"))
     acfg.geo_bg_up_axis = args.geo_bg_up_axis
     acfg.geo_bg_min_extent = args.geo_bg_min_extent

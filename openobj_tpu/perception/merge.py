@@ -102,6 +102,7 @@ def classify_bg_hull(
     shell_tol: float = 0.10,
     frac_required: float = 0.75,
     min_extent: float = 2.0,
+    cam_up_range: tuple[float, float] | None = None,
 ) -> str | None:
     """Geometric background classification — the weights-free stand-in for
     the reference's caption anchoring (mask_graph.py:1111-1135, which needs
@@ -116,7 +117,14 @@ def classify_bg_hull(
     Works for corner unions spanning several planes, where a single
     plane-fit test fails. Naming: majority vote of each near-shell point's
     nearest box face — up-max face -> ceiling, up-min -> floor, the four
-    side faces -> wall. Returns the reserved name or None. Opt-in via
+    side faces -> wall. When ``cam_up_range`` (min/max camera height along
+    the up axis over the trajectory) is given, ceiling additionally
+    requires the cluster's median height ABOVE the highest camera and
+    floor BELOW the lowest — a physical constraint that stops a large
+    table top from becoming 'ceiling' in a scan that never looks up (the
+    tabletop would otherwise define the scene's up-max face); candidates
+    failing the height check fall back to 'wall' only if vertical-ish,
+    else None. Returns the reserved name or None. Opt-in via
     AssociationConfig.geo_bg; the caption path stays the default whenever
     real captions are available."""
     if len(points) < 10:
@@ -138,8 +146,14 @@ def classify_bg_hull(
     n_floor = int((votes == up_axis).sum())           # min face along up
     n_ceil = int((votes == 3 + up_axis).sum())        # max face along up
     n_wall = len(votes) - n_floor - n_ceil
-    best = max((n_wall, "wall"), (n_floor, "floor"), (n_ceil, "ceiling"))
-    return best[1]
+    best = max((n_wall, "wall"), (n_floor, "floor"), (n_ceil, "ceiling"))[1]
+    if best in ("floor", "ceiling") and cam_up_range is not None:
+        med_up = float(np.median(pts[:, up_axis]))
+        ok = (med_up > cam_up_range[1] if best == "ceiling"
+              else med_up < cam_up_range[0])
+        if not ok:
+            return "wall" if n_wall >= 0.25 * len(votes) else None
+    return best
 
 
 def overlap_ratio(pc1: np.ndarray, pc2: np.ndarray, dis_thre: float = 0.02):
@@ -160,7 +174,7 @@ def second_stage_mapping(
 ):
     """compute_similarity_matrix_thre parity (mask_graph.py:820-895).
     ``forced_bg`` maps cluster_id -> reserved id (1/2/3), taking precedence
-    over caption anchoring (used by the geometric bg path, classify_bg_plane).
+    over caption anchoring (used by the geometric bg path, classify_bg_hull).
     Returns (mapping {cluster_id: final_id}, next_free_id)."""
     keys = list(pcs.keys())
     n = len(keys)

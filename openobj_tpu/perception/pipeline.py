@@ -58,6 +58,8 @@ class AssociationConfig:
     min_component_px: int = 100
     dbscan_min_points: int = 100
     dbscan_eps: float = 0.05    # scale with pixel footprint: ~2 * depth / fx
+    adaptive_eps: bool = True   # raise eps to each component's 3D pixel
+    #                             spacing; False = reference fixed-eps parity
     max_depth: float = 10.0
     gt_bg_ids: dict = field(default_factory=dict)  # {"wall": id, ...}
     geo_bg: bool = False       # geometric bg anchoring (classify_bg_hull)
@@ -85,6 +87,7 @@ def associate(
             min_component_px=cfg.min_component_px,
             dbscan_min_points=cfg.dbscan_min_points,
             dbscan_eps=cfg.dbscan_eps,
+            adaptive_eps=cfg.adaptive_eps,
         )
         ev_per_frame.append(evs)
         kept_caps.append([c for c, k in zip(fr.captions, ok) if k])
@@ -147,16 +150,21 @@ def associate(
 
     # stage 4.5 (weights-free path): geometric bg anchoring — large thin
     # planes route to the reserved wall/floor/ceiling ids when captions
-    # carry no bg semantics (classify_bg_plane docstring)
+    # carry no bg semantics (classify_bg_hull docstring)
     forced_bg: dict[int, int] = {}
     if cfg.geo_bg and pcs:
         all_pts = np.concatenate([p for p in pcs.values() if len(p)])
         scene_aabb = np.concatenate([all_pts.min(0), all_pts.max(0)])
+        cam_up = np.asarray(
+            [fr.t_wc[cfg.geo_bg_up_axis, 3] for fr in frames], np.float64
+        )
+        cam_up_range = (float(cam_up.min()), float(cam_up.max()))
         for cid, pts in pcs.items():
             name = merge.classify_bg_hull(
                 pts, scene_aabb, up_axis=cfg.geo_bg_up_axis,
                 shell_tol=cfg.geo_bg_shell_tol,
                 min_extent=cfg.geo_bg_min_extent,
+                cam_up_range=cam_up_range,
             )
             if name is not None:
                 forced_bg[cid] = merge.RESERVED[name]

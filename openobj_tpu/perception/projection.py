@@ -147,8 +147,9 @@ def project_masks(
     if max_depth > 0:
         depth[depth > max_depth] = 0
     depth_valid = depth > 0
-    pmap = (_pixel_point_map(depth, fx, fy, cx, cy)
-            if adaptive_eps else None)
+    # one backprojection for the whole frame: camera-frame points serve the
+    # spacing stats directly; the world transform is applied per component
+    pmap = _pixel_point_map(depth, fx, fy, cx, cy)
 
     out: list[MaskEvidence] = []
     ok = np.ones(len(masks), bool)
@@ -167,9 +168,8 @@ def project_masks(
                 new_mask[comp_v] = False
                 continue
             v, u = np.nonzero(comp_v)
-            z = depth[v, u]
-            pts = np.stack([(u - cx) * z / fx, (v - cy) * z / fy, z], -1)
-            pts = pts @ t_wc[:3, :3].T + t_wc[:3, 3]
+            # boolean-mask gather is row-major — the same (v, u) order
+            pts = pmap[comp_v] @ t_wc[:3, :3].T + t_wc[:3, 3]
             eps_c = dbscan_eps
             if adaptive_eps:
                 eps_c = max(eps_c, 2.0 * _neighbor_spacing_q90(comp_v, pmap))

@@ -17,14 +17,21 @@ Algorithm: Felzenszwalb–Huttenlocher efficient graph segmentation
 
 where ``jump`` is the SLOPE-COMPENSATED depth discontinuity: the raw
 difference z_b - z_a minus the slope predicted by the neighboring pixel
-on either side (the larger of the two deviations). A smooth surface —
-however slanted, at whatever resolution — has jump ~ 0 because adjacent
-differences repeat; an occluding step keeps jump ~ |z_b - z_a| because
-neither side's slope predicts it; a crease (wall meets floor) scores the
-slope *change*. A raw first difference would instead charge every edge on
-a slanted surface its full per-pixel depth step, which fragments walls
-viewed at grazing angles and any smooth surface at small image sizes
-(per-pixel slope scales with 1/width). Depth discontinuities are the
+on either side, taking the SMALLER of the two deviations. A smooth
+surface — however slanted, at whatever resolution — has jump ~ 0 because
+adjacent differences repeat; an occluding step keeps jump ~ |z_b - z_a|
+because neither side's slope predicts it. The min (not max) matters:
+edges one pixel away from a step have one contaminated side (its
+neighbor d1 crosses the step) but a clean matching side — max would
+charge them the full step and peel persistent 1-px sliver segments off
+every occlusion boundary. The cost of min is that concave creases
+(wall meets floor) score ~0 in depth — the matching-side slope predicts
+the crease edge — so crease separation falls to the color term and,
+downstream, to the geometric bg anchoring (merge.classify_bg_hull
+handles multi-plane unions). A raw first difference would instead
+charge every edge on a slanted surface its full per-pixel depth step,
+which fragments walls viewed at grazing angles and any smooth surface
+at small image sizes (per-pixel slope scales with 1/width). Depth discontinuities are the
 strongest object-boundary evidence an RGB-D frame carries (a relative
 gap, so a 2 cm step at 0.5 m counts like an 8 cm step at 2 m); color
 separates objects lying flush against their support (a book on a desk).
@@ -128,14 +135,16 @@ def felzenszwalb_rgbd(
 
         z is [H, W] (transpose for vertical edges); returns a pair of
         [H, W-1] arrays (jump, nb_slope) — for the edge (i, j)-(i, j+1):
-        jump is the max over both sides of |d1 - neighbor's d1| (a smooth,
-        even slanted, surface repeats d1; an occlusion step matches
-        neither neighbor), and nb_slope is the smaller neighboring |d1|
-        (the surface's own per-pixel depth slope, used to scale the
-        tolerance: a perspective-projected plane's depth is hyperbolic
-        along a pixel row, so its second difference grows with slope —
-        |d2| <= 2 |d1|^2 / z — while a true step dwarfs either side's
-        slope). Missing/invalid neighbors fall back to |d1| / 0.
+        jump is the MIN over both sides of |d1 - neighbor's d1| (a smooth,
+        even slanted, surface repeats d1 on at least one side; an
+        occlusion step matches neither neighbor — and min keeps the
+        step's immediate-neighbor edges cheap, see module docstring), and
+        nb_slope is the smaller neighboring |d1| (the surface's own
+        per-pixel depth slope, used to scale the tolerance: a
+        perspective-projected plane's depth is hyperbolic along a pixel
+        row, so its second difference grows with slope — |d2| <=
+        2 |d1|^2 / z — while a true step dwarfs either side's slope).
+        Missing/invalid neighbors fall back to |d1| / 0.
         """
         d1 = z[:, 1:] - z[:, :-1]                       # [H, W-1]
         valid = (z[:, 1:] > 0) & (z[:, :-1] > 0)
@@ -157,7 +166,7 @@ def felzenszwalb_rgbd(
         sl_r[:, :-1] = np.where(valid[:, 1:], np.abs(d1[:, 1:]), big)
         nb = np.minimum(sl_l, sl_r)
         nb[nb >= big] = 0.0
-        return np.maximum(dev_l, dev_r), nb
+        return np.minimum(dev_l, dev_r), nb
 
     zmap = np.asarray(depth, np.float64) if depth is not None else None
     if zmap is not None:

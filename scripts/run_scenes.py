@@ -80,12 +80,13 @@ def run_perception(cfg_path: str, args) -> None:
     with open(ypath, "w") as f:
         yaml.safe_dump(ycfg, f)
     pcli.associate_main([
-        root, "--config", ypath, "--max-depth", str(cfg.max_depth),
+        root, "--config", ypath, "--format", cfg.dataset_format,
+        "--max-depth", str(cfg.max_depth),
         "--min-component-px", str(min_px),
         "--dbscan-min-points", str(max(10, npx // 8000)),
         "--dbscan-eps", str(eps),
         # weights-free captions carry no wall/floor semantics; anchor the
-        # background geometrically (large thin planes -> ids 1/2/3)
+        # background geometrically (boundary-shell clusters -> ids 1/2/3)
         "--geo-bg",
     ])
     if cfg.train.part_mode:
@@ -110,12 +111,25 @@ def run_one_scene(cfg_path: str, scene: str, args) -> dict:
         json.dump(cfg, open(cfg_path, "w"), indent=2)
     print(f"=== {scene} ===")
     if args.perception != "off":
-        root = json.load(open(cfg_path))["dataset"]["path"]
-        have = os.path.exists(os.path.join(root, "object_clipfeat.pkl"))
+        jcfg = json.load(open(cfg_path))
+        root = jcfg["dataset"]["path"]
+        required = [
+            os.path.join(root, "object_clipfeat.pkl"),
+            os.path.join(root, "object_capfeat.pkl"),
+            os.path.join(root, "instance_our"),
+        ]
+        if jcfg.get("trainer", {}).get("part_mode", 0):
+            required.append(os.path.join(root, "partlevel"))
+        have = all(os.path.exists(p) for p in required)
         if args.perception == "always" or not have:
             print(f"[{scene}] running perception stages "
                   f"({'forced' if have else 'artifacts missing'})")
-            run_perception(cfg_path, args)
+            try:
+                run_perception(cfg_path, args)
+            except Exception as e:  # noqa: BLE001 — isolate per scene
+                print(f"[{scene}] perception FAILED: "
+                      f"{type(e).__name__}: {e}")
+                return {"status": "perception_failed", "error": str(e)}
     cli = ["--config", cfg_path, "--logdir", logdir]
     if args.class_features:
         cli += ["--class-features", args.class_features]
