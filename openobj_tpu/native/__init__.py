@@ -81,6 +81,11 @@ def load():
         ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_double,
         ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8),
     ]
+    lib.voxel_flood_largest.restype = ctypes.c_int64
+    lib.voxel_flood_largest.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_double,
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8),
+    ]
     lib.felz_union_find.restype = ctypes.c_int
     lib.felz_union_find.argtypes = [
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
@@ -168,15 +173,21 @@ def felz_union_find(edges_a: np.ndarray, edges_b: np.ndarray,
     return labels
 
 
-def dbscan_largest_raw(points: np.ndarray, eps: float, min_points: int):
+def dbscan_largest_raw(points: np.ndarray, eps: float, min_points: int,
+                       large_n: int = 100_000):
     """Largest-cluster keep mask, or None when no cluster exists (or the
-    native library is unavailable)."""
+    native library is unavailable). Clouds above ``large_n`` points use the
+    O(n) voxel flood-fill variant: exact grid DBSCAN scans every point in
+    each eps-cell, which explodes on dense surface clouds whenever eps far
+    exceeds the point spacing (the adaptive-eps denoise regime)."""
     lib = load()
     if lib is None:
         return None
     p = np.ascontiguousarray(points, dtype=np.float64)
     mask = np.zeros(len(p), np.uint8)
-    kept = lib.grid_dbscan_largest(
+    fn = (lib.voxel_flood_largest if len(p) > large_n
+          else lib.grid_dbscan_largest)
+    kept = fn(
         p.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), len(p),
         ctypes.c_double(eps), min_points,
         mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),

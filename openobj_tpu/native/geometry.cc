@@ -273,6 +273,94 @@ int64_t grid_dbscan_largest(
 }
 
 // ------------------------------------------------------------------------- //
+// Voxel flood-fill largest-cluster filter: the O(n) large-cloud variant of
+// grid_dbscan_largest. Exact DBSCAN's neighbor scan costs O(points per
+// eps-cell) per point, which explodes when eps greatly exceeds the point
+// spacing (dense surface clouds under the adaptive-eps denoise). For the
+// denoise role — keep the big connected surface, drop depth-bleed speckle —
+// connectivity between eps-edge voxels (3^3 neighborhood, point-weighted
+// cluster sizes vs min_points) is equivalent in effect and linear in n.
+int64_t voxel_flood_largest(const double* points, int64_t n, double eps,
+                            int64_t min_points, uint8_t* keep_mask) {
+  if (n <= 0) return 0;
+  const double inv = 1.0 / eps;
+  auto key_of = [&](double x, double y, double z) -> uint64_t {
+    int64_t kx = (int64_t)std::floor(x * inv);
+    int64_t ky = (int64_t)std::floor(y * inv);
+    int64_t kz = (int64_t)std::floor(z * inv);
+    return ((uint64_t)(kx & 0x1fffff) << 42) |
+           ((uint64_t)(ky & 0x1fffff) << 21) |
+           ((uint64_t)(kz & 0x1fffff));
+  };
+  // voxel id assignment
+  std::unordered_map<uint64_t, int32_t, EdgeHash> vox;
+  vox.reserve((size_t)n);
+  std::vector<int32_t> pt_vox((size_t)n);
+  std::vector<int64_t> vcount;
+  std::vector<uint64_t> vkey;
+  std::vector<double> vx, vy, vz;   // a representative point per voxel
+  for (int64_t i = 0; i < n; ++i) {
+    uint64_t k = key_of(points[i*3], points[i*3+1], points[i*3+2]);
+    auto it = vox.find(k);
+    int32_t vid;
+    if (it == vox.end()) {
+      vid = (int32_t)vcount.size();
+      vox.emplace(k, vid);
+      vcount.push_back(0);
+      vkey.push_back(k);
+      vx.push_back(points[i*3]); vy.push_back(points[i*3+1]);
+      vz.push_back(points[i*3+2]);
+    } else {
+      vid = it->second;
+    }
+    pt_vox[(size_t)i] = vid;
+    vcount[(size_t)vid]++;
+  }
+  const int64_t n_vox = (int64_t)vcount.size();
+  // flood fill over 3^3 voxel adjacency
+  std::vector<int32_t> comp((size_t)n_vox, -1);
+  std::vector<int64_t> comp_weight;
+  std::queue<int32_t> q;
+  for (int64_t s = 0; s < n_vox; ++s) {
+    if (comp[(size_t)s] >= 0) continue;
+    int32_t cid = (int32_t)comp_weight.size();
+    comp_weight.push_back(0);
+    comp[(size_t)s] = cid;
+    q.push((int32_t)s);
+    while (!q.empty()) {
+      int32_t u = q.front(); q.pop();
+      comp_weight[(size_t)cid] += vcount[(size_t)u];
+      for (int dx = -1; dx <= 1; ++dx)
+        for (int dy = -1; dy <= 1; ++dy)
+          for (int dz = -1; dz <= 1; ++dz) {
+            if (!dx && !dy && !dz) continue;
+            auto it = vox.find(key_of(vx[(size_t)u] + dx * eps,
+                                      vy[(size_t)u] + dy * eps,
+                                      vz[(size_t)u] + dz * eps));
+            if (it == vox.end() || comp[(size_t)it->second] >= 0) continue;
+            comp[(size_t)it->second] = cid;
+            q.push(it->second);
+          }
+    }
+  }
+  // largest component by point weight, subject to min_points
+  int32_t best = -1;
+  int64_t best_w = 0;
+  for (size_t c = 0; c < comp_weight.size(); ++c)
+    if (comp_weight[c] >= min_points && comp_weight[c] > best_w) {
+      best = (int32_t)c;
+      best_w = comp_weight[c];
+    }
+  if (best < 0) return 0;
+  int64_t kept = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    keep_mask[i] = comp[(size_t)pt_vox[(size_t)i]] == best ? 1 : 0;
+    kept += keep_mask[i];
+  }
+  return kept;
+}
+
+// ------------------------------------------------------------------------- //
 // Felzenszwalb-Huttenlocher graph-segmentation merge pass (the sequential
 // union-find over weight-sorted edges — perception/segmentation.py's hot
 // loop; the edge construction/sorting stays numpy). Same semantics as the

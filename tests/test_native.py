@@ -216,3 +216,33 @@ class TestFelzUnionFind:
         assert labels is not None
         assert labels[0] == labels[1] == labels[2]
         assert labels[3] != labels[0]
+
+
+class TestVoxelFloodLargest:
+    def test_matches_exact_dbscan_on_speckle(self):
+        """The O(n) large-cloud voxel flood fill keeps the same surface and
+        drops the same speckle as the exact grid DBSCAN."""
+        from openobj_tpu import native
+
+        if native.load() is None:
+            pytest.skip("native geometry unavailable")
+        rng = np.random.default_rng(7)
+        pts = rng.normal(size=(30_000, 3)) * 0.02 + [0, 0, 1.0]
+        pts[:50] += [0, 0, 8.0]                 # depth-bleed speckle
+        flood = native.dbscan_largest_raw(pts, 0.05, 100, large_n=1_000)
+        exact = native.dbscan_largest_raw(pts, 0.05, 100, large_n=10**12)
+        assert flood is not None and exact is not None
+        assert np.array_equal(flood, exact)
+        assert not flood[:50].any()
+        assert flood[50:].all()
+
+    def test_no_cluster_returns_none(self):
+        from openobj_tpu import native
+
+        if native.load() is None:
+            pytest.skip("native geometry unavailable")
+        rng = np.random.default_rng(8)
+        # points spread over a huge volume: nothing reaches min_points
+        pts = rng.uniform(-500, 500, (20_000, 3))
+        assert native.dbscan_largest_raw(pts, 1e-4, 50_000,
+                                         large_n=1_000) is None
