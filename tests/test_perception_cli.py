@@ -266,3 +266,79 @@ class TestFullWorkflow:
         # bg slot present (wall -> 0) and at least one object instance
         assert 0 in s.bboxes
         assert (s.inst > 3).any()
+
+
+def write_scannet_raw(root, n_raw_frames=20):
+    """ScanNet raw contract only — color/<i>.jpg, depth/<i>.png,
+    intrinsic/intrinsic_depth.txt, traj_w_c.txt — rendered from the same
+    analytic scene as the Replica fixture. No association artifacts: the
+    perception stages must produce them."""
+    from openobj_tpu.data import synthetic
+    from openobj_tpu.ops import sampling
+    from test_dataset_cli import FX, FY, CX, CY
+
+    for d in ("color", "depth", "intrinsic"):
+        os.makedirs(os.path.join(root, d), exist_ok=True)
+    dirs = np.asarray(sampling.camera_ray_dirs(W, H, FX, FY, CX, CY))
+    scene = synthetic.default_scene(n_spheres=2)
+    poses = []
+    for i in range(n_raw_frames):
+        t_wc = synthetic.orbit_pose(np.pi / 2 - 0.6 + 1.2 * i / n_raw_frames)
+        poses.append(t_wc.reshape(-1))
+        rgb, depth, _ = scene.render(t_wc, dirs)
+        cv2.imwrite(os.path.join(root, "color", f"{i}.jpg"),
+                    cv2.cvtColor(rgb, cv2.COLOR_RGB2BGR),
+                    [cv2.IMWRITE_JPEG_QUALITY, 95])
+        cv2.imwrite(os.path.join(root, "depth", f"{i}.png"),
+                    (depth * 1000).astype(np.uint16))
+    np.savetxt(os.path.join(root, "traj_w_c.txt"), np.stack(poses),
+               delimiter=" ")
+    k = np.eye(4)
+    k[0, 0], k[1, 1], k[0, 2], k[1, 2] = FX, FY, CX, CY
+    np.savetxt(os.path.join(root, "intrinsic", "intrinsic_depth.txt"), k)
+
+
+class TestScanNetPerceptionAuto:
+    def test_scannet_raw_to_artifacts(self, tmp_path):
+        """--perception auto on the ScanNet raw contract: maskgen and
+        associate must read color/*.jpg via the ScanNet RawFrames layout
+        (regression: associate used to be invoked without --format and
+        crashed looking for rgb/rgb_<i>.png)."""
+        import json
+        import sys
+
+        sys.path.insert(0, "scripts")
+        import run_scenes
+
+        scan = tmp_path / "scan"
+        write_scannet_raw(str(scan), n_raw_frames=20)
+        cfg = {
+            "dataset": {"path": str(scan), "format": "ScanNet"},
+            "optimizer": {"args": {"lr": 1e-3, "weight_decay": 0.013}},
+            "trainer": {"stride": 10, "scale": 1000.0, "part_mode": 0},
+            "render": {"depth_range": [0.0, 8.0], "n_bins": 9,
+                       "n_bins_cam2surface": 1, "n_bins_cam2surface_bg": 5,
+                       "iters_per_frame": 10, "n_per_optim": 24,
+                       "n_per_optim_bg": 24},
+            "model": {"n_unidir_funcs": 5, "obj_scale": 2.0, "bg_scale": 5.0,
+                      "surface_eps": 0.1, "other_eps": 0.05,
+                      "keyframe_buffer_size": 4, "keyframe_step": 25,
+                      "keyframe_step_bg": 50, "window_size": 2,
+                      "window_size_bg": 2, "hidden_feature_size": 8,
+                      "hidden_feature_size_bg": 8,
+                      "clip_point_feature_size": 8},
+            "camera": {"w": W, "h": H, "mw": 0, "mh": 0},
+            "vis": {"if_render": 0},
+        }
+        cfg_dir = tmp_path / "configs"
+        os.makedirs(cfg_dir)
+        json.dump(cfg, open(cfg_dir / "scan.json", "w"))
+        out = tmp_path / "runs"
+        run_scenes.main([str(cfg_dir), "--out", str(out),
+                         "--perception", "auto"])
+        summary = json.load(open(out / "summary.json"))
+        assert summary["scan"]["status"] == "ok"
+        assert summary["scan"]["objects"] >= 1
+        assert os.path.exists(scan / "object_clipfeat.pkl")
+        assert os.path.exists(scan / "instance_our" /
+                              "semantic_instance_0.png")
