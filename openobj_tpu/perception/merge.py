@@ -156,13 +156,22 @@ def classify_bg_hull(
     return best
 
 
-def overlap_ratio(pc1: np.ndarray, pc2: np.ndarray, dis_thre: float = 0.02):
+def overlap_ratio(pc1: np.ndarray, pc2: np.ndarray, dis_thre: float = 0.02,
+                  tree1: cKDTree | None = None,
+                  tree2: cKDTree | None = None):
     """max of (fraction of pc1 within dis_thre of pc2, vice versa)
-    (open3d compute_point_cloud_distance parity, mask_graph.py:839-845)."""
+    (open3d compute_point_cloud_distance parity, mask_graph.py:839-845).
+    Pass prebuilt ``tree1``/``tree2`` when calling over many pairs — the
+    second-stage merge is O(n^2) pairs and would otherwise rebuild each
+    cluster's KD-tree n times."""
     if len(pc1) == 0 or len(pc2) == 0:
         return 0.0
-    d12 = cKDTree(pc2).query(pc1, k=1)[0]
-    d21 = cKDTree(pc1).query(pc2, k=1)[0]
+    # cheap AABB prefilter: disjoint boxes (beyond dis_thre) cannot overlap
+    if (pc1.min(0) - pc2.max(0)).max() > dis_thre or \
+       (pc2.min(0) - pc1.max(0)).max() > dis_thre:
+        return 0.0
+    d12 = (tree2 or cKDTree(pc2)).query(pc1, k=1)[0]
+    d21 = (tree1 or cKDTree(pc1)).query(pc2, k=1)[0]
     return float(max((d12 < dis_thre).mean(), (d21 < dis_thre).mean()))
 
 
@@ -182,12 +191,15 @@ def second_stage_mapping(
     cap_l = [caps[k] for k in keys]
     col_l = [cols[k] for k in keys]
 
+    trees = [cKDTree(pc) if len(pc) else None for pc in pc_l]
     sim_pc = np.zeros((n, n))
     sim_cap = np.zeros((n, n))
     sim_col = np.zeros((n, n))
     for i in range(n):
         for j in range(i + 1, n):
-            sim_pc[i, j] = sim_pc[j, i] = overlap_ratio(pc_l[i], pc_l[j], dis_thre)
+            sim_pc[i, j] = sim_pc[j, i] = overlap_ratio(
+                pc_l[i], pc_l[j], dis_thre, tree1=trees[i], tree2=trees[j]
+            )
             sim_cap[i, j] = sim_cap[j, i] = float(cap_l[i] @ cap_l[j])
             sim_col[i, j] = sim_col[j, i] = float(col_l[i] @ col_l[j])
     merge = (
