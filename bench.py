@@ -193,13 +193,26 @@ if __name__ == "__main__":
     # the dev-TPU tunnel occasionally throws transient FAILED_PRECONDITION /
     # UNAVAILABLE errors; one retry on THOSE protects the recorded result.
     # Anything else (assertion, OOM, shape error) is a real regression and
-    # re-raises immediately.
+    # re-raises immediately. The tunnel can also HANG outright (observed
+    # for hours: device enumeration never returns) — a SIGALRM watchdog
+    # turns that into a clean, explicit failure instead of wedging the
+    # caller forever; a normal run is ~4 min incl. compile.
+    import signal
+    import sys
+
+    def _watchdog(signum, frame):  # noqa: ARG001
+        raise TimeoutError("UNAVAILABLE: bench watchdog — no result within "
+                           "the alarm window (TPU tunnel hang?)")
+
+    signal.signal(signal.SIGALRM, _watchdog)
     try:
+        signal.alarm(1200)
         main()
+        signal.alarm(0)
     except Exception as e:  # noqa: BLE001
-        import sys
         import traceback
 
+        signal.alarm(0)
         msg = f"{type(e).__name__}: {e}"
         transient = any(
             s in msg
@@ -212,4 +225,6 @@ if __name__ == "__main__":
         print(f"bench attempt 1 hit transient tunnel error ({msg}); "
               "retrying once", file=sys.stderr)
         time.sleep(30)
+        signal.alarm(1200)
         main()
+        signal.alarm(0)
