@@ -179,7 +179,12 @@ def project_masks(
             pts = pmap[comp_v] @ t_wc[:3, :3].T + t_wc[:3, 3]
             eps_c = dbscan_eps
             if adaptive_eps:
-                eps_c = max(eps_c, 2.0 * _neighbor_spacing_q90(comp_v, pmap))
+                # bbox-slice first: the pair masks are full-frame ops
+                # otherwise, dominating the loop for small components
+                v0, v1 = int(v.min()), int(v.max()) + 1
+                u0, u1 = int(u.min()), int(u.max()) + 1
+                eps_c = max(eps_c, 2.0 * _neighbor_spacing_q90(
+                    comp_v[v0:v1, u0:u1], pmap[v0:v1, u0:u1]))
             pts_kept, keep = dbscan_largest_cluster(
                 pts, eps=eps_c, min_points=dbscan_min_points
             )
