@@ -188,6 +188,15 @@ def load_scene(dirpath: str, mapper) -> None:
         count=jnp.asarray(z["fg_count"]),
     )
     bg_params, bg_opt = st.bg_params, st.bg_opt
+    if (st.bg_params is not None) != ("bg_count" in z):
+        # same contract as load_scene_sharded: continuing with randomly
+        # initialized bg params as if they were trained state is a silent
+        # corruption, not a recoverable mismatch
+        raise ValueError(
+            "snapshot/mapper background mismatch: "
+            f"mapper do_bg={st.bg_params is not None}, "
+            f"snapshot has bg={'bg_count' in z}"
+        )
     if st.bg_params is not None and "bg_count" in z:
         bg_params = _unflatten(z, "bg_params/", st.bg_params)
         bg_opt = optim.AdamWState(

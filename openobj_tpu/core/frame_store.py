@@ -38,6 +38,7 @@ bf16) fetches half the bytes. ``part_dtype="bf16"`` keeps the old store.
 from __future__ import annotations
 
 from dataclasses import dataclass, replace
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -128,8 +129,12 @@ def init_frame_store(
     )
 
 
-@jax.jit
+@partial(jax.jit, donate_argnums=(0,))
 def _append(store: FrameStore, rgb, depth, inst, t_wc, partfeat, i) -> FrameStore:
+    # donating the store makes the dynamic_update in-place on TPU — without
+    # it XLA materializes a fresh copy of the whole packed pixel store
+    # (~1 GB HBM write at capacity 256, 640x480) to append one ~4 MB frame.
+    # Every caller reassigns over its store reference (append_frame contract).
     new = replace(
         store,
         packed=jax.lax.dynamic_update_index_in_dim(

@@ -230,16 +230,26 @@ def composite_views(
     maskid = np.zeros((h, w), np.uint16)
     instid = np.zeros((h, w), np.int32)
     zbuf = np.full((h, w), 100.0, np.float32)
+    # separate z-buffer for background ids: the reference resolves bg-vs-bg
+    # overlaps by iteration order (its own comment flags it as a known
+    # wart, train.py:594 '记得修改'); depth-testing bg against bg keeps the
+    # nearer wall/floor surface while preserving the reference's fg
+    # semantics exactly (bg never occludes fg via the main zbuf)
+    bg_zbuf = np.full((h, w), 100.0, np.float32)
     for obj_id, v in views.items():
         if v is None:
             continue
         this_depth = np.where(v["hit"], v["depth"], 100.0)
         ok = zbuf > this_depth
+        if obj_id in bg_ids:
+            ok &= bg_zbuf > this_depth
         rgb[ok] = (np.clip(v["color"], 0, 1)[ok] * 255).astype(np.uint8)
         maskid[ok] = class_of.get(obj_id, 0)
         instid[ok] = obj_id
         if obj_id not in bg_ids:
             zbuf[ok] = this_depth[ok]
+        else:
+            bg_zbuf[ok] = this_depth[ok]
     depth = np.where(zbuf >= 100.0, 0.0, zbuf)
     return {"rgb": rgb, "depth": depth, "maskid": maskid, "instid": instid}
 

@@ -109,7 +109,11 @@ class SceneMapper:
     def _ensure_capacity(self, n_objects: int):
         if n_objects <= self.state.n_slots:
             return
-        bucket = _next_bucket(n_objects)
+        # never outgrow the registry: its tables are sized [max_objects]
+        # (the registry also caps allocation there), so a power-of-two
+        # bucket above it would desynchronize state.n_slots from every
+        # sliced table (e.g. 65 objects -> bucket 128 vs tables [100])
+        bucket = min(_next_bucket(n_objects), self.max_objects)
         self.state = trainer.grow_train_state(
             self._split(), self.state, self.cfg, bucket
         )
@@ -199,11 +203,13 @@ class SceneMapper:
         # keeping this frame's dispatch asynchronous: the host preps frame
         # N+1 while the device trains frame N (one-deep pipeline)
         if self._pending_losses is not None:
-            prev = np.asarray(self._pending_losses)
-            self._check_losses(prev)
+            pframe, plosses = self._pending_losses
+            prev = np.asarray(plosses)
+            self._check_losses(prev, pframe)
             self.loss_history.append(float(prev[-1]))
-        self._pending_losses = self._train_once_async()
-        return self._pending_losses
+        losses = self._train_once_async()
+        self._pending_losses = (self.frame_count - 1, losses)
+        return losses
 
     def _evict_frame_slot(self) -> int:
         """Pick a store slot no keyframe ring references. This bounds device
@@ -225,12 +231,13 @@ class SceneMapper:
         """Drain the pipeline: validate the last frame's losses. Call after
         the frame loop (checkpoint/export paths sync anyway)."""
         if self._pending_losses is not None:
-            prev = np.asarray(self._pending_losses)
-            self._check_losses(prev)
+            pframe, plosses = self._pending_losses
+            prev = np.asarray(plosses)
+            self._check_losses(prev, pframe)
             self.loss_history.append(float(prev[-1]))
             self._pending_losses = None
 
-    def _check_losses(self, losses: np.ndarray):
+    def _check_losses(self, losses: np.ndarray, frame_idx: int):
         """Failure detection (reference render_rays.py:109-111): non-finite
         losses, or a frame ending > loss_explosion_factor x its running
         median, signal divergence."""
@@ -242,7 +249,7 @@ class SceneMapper:
             med = float(np.median(self.loss_history[-20:]))
             bad = med > 0 and last > self.loss_explosion_factor * med
         if bad:
-            msg = (f"loss explosion at frame {self.frame_count}: "
+            msg = (f"loss explosion at frame {frame_idx}: "
                    f"last={last!r}, history tail="
                    f"{[round(x, 3) for x in self.loss_history[-3:]]}")
             if self.on_loss_explosion == "raise":

@@ -129,7 +129,12 @@ def init_train_state(key: jax.Array, cfg: TrainConfig, n_slots: int) -> TrainSta
     k_fg, k_bg = jax.random.split(key)
     fg = object_field.init_stacked_fields(
         k_fg, n_slots, hidden=cfg.hidden, clip_size=cfg.clip_size,
-        scale=cfg.obj_scale, max_deg=cfg.max_deg, do_clip=cfg.part_mode or True,
+        # do_clip stays True regardless of part_mode: grow_train_state and
+        # _allocate_new_slots init with the default tree structure, and the
+        # semantic-assignment path uses the clip head even without part
+        # distillation — a part_mode-conditional head would desynchronize
+        # the stacked pytree structure across the three init sites
+        scale=cfg.obj_scale, max_deg=cfg.max_deg, do_clip=True,
     )
     bg = bg_opt = None
     if cfg.do_bg:
@@ -226,7 +231,12 @@ def _sample_batch(
 
     n_kf_safe = jnp.maximum(n_kf, 1)[:, None]
     draws = jax.random.randint(k_kf, (o, n_draws), 0, n_kf_safe)
-    # force the two most recent keyframes into the draw (vmap.py:390-412)
+    # force the two most recent keyframes into the draw (vmap.py:390-412).
+    # EXACT reference placement: the reference also appends latest-2 at the
+    # END of the flat (iters*win) draw list, so after its per-step slicing
+    # (train.py:396-404) the forced keyframes land only in the final
+    # optimizer step's window — our scan reorder reproduces that, it does
+    # not force them into every step.
     forced = jnp.concatenate([draws[:, :-2], latest2.astype(draws.dtype)], axis=1)
     draws = jnp.where((n_kf > 2)[:, None], forced, draws)
 

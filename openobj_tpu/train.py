@@ -247,6 +247,7 @@ def render_dataset(mapper, dataset, log_dir: str, mapping_class: dict,
                 [mapping_class.get(int(x), 0) for x in inst_arr], np.uint16
             )[np.maximum(win, 0)][hitm]
             zbuf[hitm] = zb[hitm]
+        bg_zbuf = np.full((h, w), 100.0, np.float32)
         for inst_id, params, st in bg_entries:
             key, k = jax.random.split(key)
             v = renderer.render_object_view(
@@ -256,11 +257,14 @@ def render_dataset(mapper, dataset, log_dir: str, mapping_class: dict,
                 two_pass=two_pass, n_probe=n_probe,
             )
             d = np.where(v["hit"], v["depth"], 100.0)
-            ok = zbuf > d
+            # bg ids never write the MAIN depth buffer (train.py:592-594);
+            # bg-vs-bg overlaps depth-test against their own buffer (the
+            # reference resolves them by iteration order — a flagged wart)
+            ok = (zbuf > d) & (bg_zbuf > d)
             rgb_img[ok] = (np.clip(v["color"], 0, 1)[ok] * 255).astype(np.uint8)
             maskid[ok] = mapping_class.get(inst_id, 0)
             instid[ok] = inst_id
-            # bg ids never write the depth buffer (train.py:592-594)
+            bg_zbuf[ok] = d[ok]
         depth_img = np.where(zbuf >= 100.0, 0.0, zbuf)
         fid = sample.frame_id
         cv2.imwrite(os.path.join(out_dir, f"rgb_{fid}.png"),

@@ -761,3 +761,36 @@ class TestPathologicalFrames:
         m.process_frame(rgb, depth, inst, np.eye(4, dtype=np.float32))
         assert 7 not in m.registry.inst_to_slot
         assert m.registry.bg_seen          # bg still observed
+
+
+class TestBucketCap:
+    def test_bucket_never_outgrows_max_objects(self):
+        """Growing past a non-power-of-two max_objects must clamp the param
+        bucket to max_objects: the registry tables are sized [max_objects],
+        and a larger bucket desynchronizes state.n_slots from every sliced
+        table (regression: 65 objects with max 100 -> bucket 128 vs [100])."""
+        from openobj_tpu.core import trainer as T
+        from openobj_tpu.core.scene import Camera, SceneMapper
+
+        cfg = T.TrainConfig(
+            n_iters_per_frame=2, win_size=2, n_samples_per_frame=4,
+            win_size_bg=2, n_samples_per_frame_bg=4,
+            hidden=8, hidden_bg=8, clip_size=4,
+        )
+        cam = Camera(width=80, height=64, fx=40.0, fy=40.0, cx=40.0, cy=32.0)
+        m = SceneMapper(cam, cfg, frame_capacity=8, max_objects=6,
+                        initial_bucket=4)
+        rgb = np.zeros((64, 80, 3), np.uint8)
+        depth = np.ones((64, 80), np.float32)
+        inst = np.full((64, 80), -1, np.int32)
+        # 5 distinct instances (>=12 px sides so the bbox filter keeps
+        # them): bucket would round to 8 > 6 without the clamp
+        for i in range(5):
+            inst[12 * i : 12 * i + 12, 10 : 70] = 4 + i
+        losses = m.process_frame(rgb, depth, inst,
+                                 np.eye(4, dtype=np.float32))
+        assert m.n_objects == 5
+        assert m.state.n_slots == 6          # clamped to max_objects
+        assert losses is not None
+        m.finish()
+        assert np.isfinite(np.asarray(m.loss_history)).all()
