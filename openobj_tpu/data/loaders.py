@@ -23,6 +23,7 @@ framework's equivalent of the reference's 4-worker DataLoader.
 
 from __future__ import annotations
 
+import math
 import os
 import pickle
 import queue
@@ -111,7 +112,8 @@ def process_instance_frame(
     if wall_key in obj_clipfeat:
         bboxes[0] = (0, h, 0, w)
         clip_d[0] = obj_clipfeat[wall_key]
-        cap_d[0] = obj_capfeat.get(wall_key)
+        if wall_key in obj_capfeat:     # same omit-when-missing contract
+            cap_d[0] = obj_capfeat[wall_key]   # as the object slots above
     return inst, bboxes, clip_d, cap_d
 
 
@@ -166,8 +168,13 @@ class _SequenceDataset:
     def _n_raw_frames(self) -> int:
         raise NotImplementedError
 
+    # Replica floors (reference dataset.py:75), ScanNet ceils (:278) —
+    # a non-multiple frame count keeps its last frame only on ScanNet
+    length_ceil = False
+
     def __len__(self) -> int:
-        return int((self._n_raw_frames() - self.start) / self.stride)
+        n = (self._n_raw_frames() - self.start) / self.stride
+        return int(math.ceil(n)) if self.length_ceil else int(n)
 
     def __getitem__(self, i: int) -> FrameSample:
         idx = int(self.start + i * self.stride)
@@ -184,6 +191,14 @@ class _SequenceDataset:
                 interpolation=cv2.INTER_LINEAR,
             )
         inst_raw = cv2.imread(self._inst_path(idx_no), cv2.IMREAD_UNCHANGED)
+        if inst_raw is not None and inst_raw.shape[:2] != depth_raw.shape:
+            # bring the id image to depth resolution too (nearest — ids
+            # must never blend); otherwise masks are misaligned with the
+            # resized rgb/depth and per-pixel packing gets mixed shapes
+            inst_raw = cv2.resize(
+                inst_raw, (depth_raw.shape[1], depth_raw.shape[0]),
+                interpolation=cv2.INTER_NEAREST,
+            )
         if self.apply_undistort:
             if self._undistort_maps is None:
                 h_im, w_im = depth_raw.shape
@@ -250,6 +265,7 @@ class Replica(_SequenceDataset):
 
 
 class ScanNet(_SequenceDataset):
+    length_ceil = True  # reference dataset.py:278 (math.ceil)
     """color/<i>.jpg + depth/<i>.png, natsorted (dataset.py:204-218)."""
 
     def __init__(self, *args, **kwargs):
@@ -283,11 +299,14 @@ def init_loader(dataset, prefetch: int = 2):
     stop = object()
 
     def worker():
+        # a per-frame failure must surface in the consumer, not silently
+        # truncate the sequence: ship the exception through the queue
         try:
             for i in range(len(dataset)):
                 q.put(dataset[i])
-        finally:
             q.put(stop)
+        except BaseException as e:  # noqa: BLE001 — re-raised in consumer
+            q.put(e)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
@@ -295,6 +314,8 @@ def init_loader(dataset, prefetch: int = 2):
         item = q.get()
         if item is stop:
             break
+        if isinstance(item, BaseException):
+            raise item
         yield item
 
 

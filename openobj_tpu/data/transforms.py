@@ -109,7 +109,10 @@ def instance_bboxes(
             out[oid] = (0, h, 0, w)
             continue
         bb = (int(r0[k]), int(r1[k]) + 1, int(c0[k]), int(c1[k]) + 1)
-        if (bb[1] - bb[0]) < min_side or (bb[3] - bb[2]) < min_side:
+        # <= : same boundary as process_instance_frame / the reference's
+        # 'w <= 10: continue' (dataset.py:147) — an exactly-10-px object is
+        # dropped by BOTH ingestion paths, not just the loader's
+        if (bb[1] - bb[0]) <= min_side or (bb[3] - bb[2]) <= min_side:
             continue
         out[oid] = enlarge_bbox(bb, enlarge, h, w)
     return out

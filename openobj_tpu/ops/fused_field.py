@@ -423,6 +423,15 @@ def field_apply_stacked_fused(
     clip_hidden [O, ..., h] | None). Gradients flow to all field params
     (incl. the trainable PE direction table); the packing in ``_pack_params``
     is plain XLA, so its transpose reassembles the cotangent pytree."""
+    if max_deg != 5:
+        # _pack_params / _fwd_body hard-code the reference's 87/42 split
+        # (3 + 21*4 trunk rows, 21*2 head rows); other band counts would
+        # silently mispack — fail loudly instead
+        raise NotImplementedError(
+            "the fused kernel supports the reference PE layout only "
+            f"(max_deg=5, 87/42 split); got max_deg={max_deg}. "
+            "Use object_field.field_apply_stacked for other layouts."
+        )
     h = stacked_params["mlp"]["in_layer"]["w"].shape[-1]
     o = points.shape[0]
     lead = points.shape[1:-1]

@@ -76,16 +76,22 @@ def marching_tetrahedra(values: np.ndarray, level: float = 0.5):
     if min(n0, n1, n2) < 2:
         return None
 
-    # active cubes: straddle the level
+    # active cubes: straddle the level. Running min/max over the 8 shifted
+    # views keeps the transient at ~2 cube-grids instead of the 8-wide
+    # corner stack (~0.5 GB at 256^3); corner values are gathered only for
+    # the (usually sparse) active set afterwards.
     corner_views = [
         values[dx : n0 - 1 + dx, dy : n1 - 1 + dy, dz : n2 - 1 + dz]
         for dx, dy, dz in _CORNERS
     ]
-    stack = np.stack([c.reshape(-1) for c in corner_views], axis=-1)  # [C, 8]
-    cmin, cmax = stack.min(-1), stack.max(-1)
+    cmin = np.minimum.reduce(corner_views).reshape(-1)
+    cmax = np.maximum.reduce(corner_views).reshape(-1)
     active = np.nonzero((cmin < level) & (cmax >= level))[0]
     if len(active) == 0:
         return None
+    stack = np.stack(
+        [c.reshape(-1)[active] for c in corner_views], axis=-1
+    )  # [M, 8] — active cubes only
 
     cube_idx = np.stack(
         np.unravel_index(active, (n0 - 1, n1 - 1, n2 - 1)), axis=-1
@@ -95,7 +101,7 @@ def marching_tetrahedra(values: np.ndarray, level: float = 0.5):
     corner_lid = (
         corner_ijk[..., 0] * (n1 * n2) + corner_ijk[..., 1] * n2 + corner_ijk[..., 2]
     )
-    corner_val = stack[active]  # [M, 8]
+    corner_val = stack  # [M, 8] (already active-only)
 
     # expand to tets [M*6, 4]
     tet_lid = corner_lid[:, _TETS].reshape(-1, 4)

@@ -149,12 +149,19 @@ def sample_z_values(
         max_bound = jnp.max(depth)  # batch max (reference vmap.py:493)
 
     z_invalid = stratified_bins(k_all, min_bound, max_bound, total, shape)
+    # clamp the front-interval top to min_bound: a valid surface closer
+    # than min_bound + surface_eps would otherwise produce a DESCENDING
+    # (even negative) front lattice, breaking the front-to-back ordering
+    # the termination cumprod assumes (the reference inherits this defect
+    # at close range, vmap.py:517; deviation: bins collapse to min_bound)
     z_front = stratified_bins(
-        k_front, min_bound, depth - surface_eps, n_bins_cam2surface, shape
+        k_front, min_bound, jnp.maximum(depth - surface_eps, min_bound),
+        n_bins_cam2surface, shape,
     )
     z_this = normal_bins(k_this, depth, n_bins, surface_eps)
     z_other = stratified_bins(
-        k_other, depth - surface_eps, depth + stop_eps, n_bins, shape
+        k_other, jnp.maximum(depth - surface_eps, min_bound),
+        depth + stop_eps, n_bins, shape,
     )
 
     is_this = (state == STATE_THIS)[..., None]
