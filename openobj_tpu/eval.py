@@ -70,15 +70,21 @@ def evaluate_instance_maps(pred_maps: list[np.ndarray],
     needs no matching step). The reserved wall/floor/ceiling ids 1/2/3
     (mask_graph.py:854-855) render through the background model as id 0,
     so they are ignored by default. Returns {inst_miou, per_instance_iou}."""
-    inter: dict[int, float] = {}
-    union: dict[int, float] = {}
-    for p, g in zip(pred_maps, gt_maps):
+    # sequence-level IoU: the union must count an id's PREDICTED pixels in
+    # every frame, including frames whose GT lacks the id — otherwise a
+    # false-positive render of object i where it doesn't exist never
+    # penalizes i's score
+    all_ids: set[int] = set()
+    for g in gt_maps:
         ids = np.unique(g)
-        ids = ids[(ids > 0) & ~np.isin(ids, ignore_ids)]
-        for i in ids:
+        all_ids.update(int(x) for x in ids[(ids > 0) & ~np.isin(ids, ignore_ids)])
+    inter: dict[int, float] = {i: 0.0 for i in all_ids}
+    union: dict[int, float] = {i: 0.0 for i in all_ids}
+    for p, g in zip(pred_maps, gt_maps):
+        for i in all_ids:
             pi, gi = p == i, g == i
-            inter[i] = inter.get(i, 0.0) + float((pi & gi).sum())
-            union[i] = union.get(i, 0.0) + float((pi | gi).sum())
+            inter[i] += float((pi & gi).sum())
+            union[i] += float((pi | gi).sum())
     per = {int(i): inter[i] / max(union[i], 1.0) for i in inter}
     miou = float(np.mean(list(per.values()))) if per else 0.0
     return {"inst_miou": miou, "per_instance_iou": per}
@@ -162,7 +168,9 @@ def evaluate_run(render_dir: str, gt_rgb_dir: str, gt_depth_dir: str | None,
         if gt_depth_dir:
             pd = cv2.imread(os.path.join(render_dir, f"depth_{i}.png"), -1)
             gd = cv2.imread(os.path.join(gt_depth_dir, f"depth_{i}.png"), -1)
-            pred_d.append(pd.astype(np.float64) * depth_scale)
+            # the train CLI always encodes its depth renders at x1000
+            # (train.py render writer); depth_scale applies to the GT only
+            pred_d.append(pd.astype(np.float64) * 1e-3)
             gt_d.append(gd.astype(np.float64) * depth_scale)
         if gt_semantic_dir:
             ps = cv2.imread(os.path.join(render_dir, f"maskid_{i}.png"), -1)
@@ -194,10 +202,23 @@ def evaluate_run(render_dir: str, gt_rgb_dir: str, gt_depth_dir: str | None,
                 # a missing/corrupt maskid render skips the frame's semantic
                 # rows (same policy as the None-guarded inst reads above)
                 if derive_sem and ps is not None:
+                    # two id spaces meet here: instance_our GT uses
+                    # 0=unknown, 1/2/3=reserved wall/floor/ceiling
+                    # (mask_graph.py:854-855), while mapping_class keys are
+                    # the LOADER-remapped ids (wall -> bg id 0,
+                    # loaders.py:process_instance_frame). So GT 0 is
+                    # ignored, GT 1/2/3 take the bg slot's class, and
+                    # object ids (4+) map through directly; GT ids absent
+                    # from the mapping are ignored, not scored as class 0.
                     gi64 = gi.astype(np.int64)
-                    lut = np.zeros(int(gi64.max()) + 1, np.int64)
+                    lut = np.full(int(gi64.max()) + 1, -1, np.int64)
+                    bg_class = inst_to_class.get(0)
+                    if bg_class is not None:
+                        for rid in (1, 2, 3):
+                            if rid < lut.size:
+                                lut[rid] = bg_class
                     for k, v in inst_to_class.items():
-                        if 0 <= k < lut.size:
+                        if 4 <= k < lut.size:
                             lut[k] = v
                     pred_sem.append(ps.astype(np.int64))
                     gt_sem.append(lut[gi64])

@@ -190,6 +190,9 @@ def render_dataset(mapper, dataset, log_dir: str, mapping_class: dict,
             centers[j] = st.obj_center
         active = jnp.ones((len(fg),), bool)
         inst_arr = np.asarray([i for i, _, _ in fg], np.int32)
+        class_arr = np.asarray(
+            [mapping_class.get(int(x), 0) for x in inst_arr], np.uint16
+        )  # frame-invariant instance -> class LUT, built once
         mhr_full = -(-(h * w) // chunk) * chunk
         mhr = min(-(-int(h * w * hit_frac) // chunk) * chunk, mhr_full)
 
@@ -243,9 +246,7 @@ def render_dataset(mapper, dataset, log_dir: str, mapping_class: dict,
             rgb_img[hitm] = (np.clip(col[hitm], 0, 1) * 255).astype(np.uint8)
             ids = inst_arr[np.maximum(win, 0)]
             instid[hitm] = ids[hitm]
-            maskid[hitm] = np.asarray(
-                [mapping_class.get(int(x), 0) for x in inst_arr], np.uint16
-            )[np.maximum(win, 0)][hitm]
+            maskid[hitm] = class_arr[np.maximum(win, 0)][hitm]
             zbuf[hitm] = zb[hitm]
         bg_zbuf = np.full((h, w), 100.0, np.float32)
         for inst_id, params, st in bg_entries:
@@ -454,7 +455,10 @@ def main(argv=None):
                        or bool(vis.get("two_pass", 0)),
                        refine_bins=args.render_refine_bins,
                        adaptive_bins=args.render_adaptive_bins)
-    if bool(vis.get("if_obj", 0)) or cfg.save_mesh:
+    # reference gate: meshing runs iff if_obj (train.py:617-652); save_mesh
+    # only selects the output kind inside the block (room_0 ships
+    # if_obj: 0, save_mesh: 1 and exports nothing)
+    if bool(vis.get("if_obj", 0)):
         n = export_meshes(mapper, args.logdir, cfg.grid_dim,
                           cfg.live_voxel_size, cfg.save_mesh, cfg.save_pcd)
         print(f"exported {n} meshes")

@@ -84,17 +84,23 @@ def rainbow_colormap(values: np.ndarray) -> np.ndarray:
     """values in [0, 1] -> [N, 3] uint8 rainbow (blue -> red), the viewer's
     query heat coloring (vis_interaction.py:322-340)."""
     v = np.clip(np.asarray(values, np.float64), 0.0, 1.0)
-    # piecewise rainbow: hue 240 (blue) -> 0 (red)
-    h = (1.0 - v) * (240.0 / 360.0)
-    out = np.empty((*v.shape, 3), np.uint8)
-    flat_h = h.reshape(-1)
-    flat = out.reshape(-1, 3)
-    for i, hh in enumerate(flat_h):
-        flat[i] = np.round(np.array(colorsys.hsv_to_rgb(hh, 1.0, 1.0)) * 255)
-    return out
+    # piecewise rainbow: hue 240 (blue) -> 0 (red), vectorized HSV->RGB at
+    # s=v=1 (the live part-query path colors 10^5+ vertices per query — a
+    # per-vertex colorsys loop took seconds)
+    h6 = (1.0 - v) * (240.0 / 360.0) * 6.0
+    i = np.floor(h6).astype(np.int64) % 6
+    f = h6 - np.floor(h6)
+    q, t = 1.0 - f, f
+    ones, zeros = np.ones_like(f), np.zeros_like(f)
+    r = np.choose(i, [ones, q, zeros, zeros, t, ones])
+    g = np.choose(i, [t, ones, ones, q, zeros, zeros])
+    b = np.choose(i, [zeros, zeros, t, ones, ones, q])
+    return np.round(np.stack([r, g, b], -1) * 255).astype(np.uint8)
 
 
 def normalize_scores(scores: dict[int, float]) -> dict[int, float]:
+    if not scores:        # e.g. a bundle exported without features
+        return {}
     vals = np.asarray(list(scores.values()), np.float64)
     lo, hi = float(vals.min()), float(vals.max())
     rng = max(hi - lo, 1e-9)

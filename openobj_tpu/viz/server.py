@@ -25,7 +25,6 @@ service.
 from __future__ import annotations
 
 import argparse
-import base64
 import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -38,8 +37,7 @@ from openobj_tpu.viz import query as Q
 from openobj_tpu.viz import viewer as V
 
 
-def _b64(a: np.ndarray) -> str:
-    return base64.b64encode(np.ascontiguousarray(a).tobytes()).decode()
+_b64 = V._b64      # one encoding contract for baked and served colorings
 
 
 class QueryService:

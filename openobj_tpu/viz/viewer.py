@@ -51,9 +51,16 @@ from openobj_tpu.viz.export import load_map_bundle
 # --------------------------------------------------------------------------- #
 
 
-def bundle_colorings(bundle: dict[int, dict], class_colors=None) -> dict:
+def bundle_colorings(bundle: dict[int, dict], class_colors=None,
+                     class_id_offset: int = 0) -> dict:
     """mode -> {obj_id: [V, 3] uint8} for the static modes (rgb / instance /
-    class / part-PCA)."""
+    class / part-PCA).
+
+    class_id_offset: 0 for the first-party vocabularies (viz.class_tables /
+    ``openobj-class-features --dataset ...``, which include 'unknown' at
+    index 0 so semantic ids ARE raw table ids); 1 reproduces the reference
+    viewer's mapping[class_id + 1] lookup (vis_interaction.py:284) for
+    render_config.yaml vocabularies that omit the void class."""
     modes: dict[str, dict] = {"rgb": {}, "instance": {}, "class": {}, "partpca": {}}
     for oid, e in bundle.items():
         v = e["mesh"]["vertices"].shape[0]
@@ -64,9 +71,7 @@ def bundle_colorings(bundle: dict[int, dict], class_colors=None) -> dict:
         )
         modes["instance"][oid] = np.tile(C.instance_color(oid), (v, 1))
         if class_colors is not None and e.get("class_id") is not None:
-            # the reference viewer looks up mapping[class_id + 1]
-            # (vis_interaction.py:284)
-            col = class_colors.color_of(int(e["class_id"]) + 1)
+            col = class_colors.color_of(int(e["class_id"]) + class_id_offset)
         else:
             col = np.array([128, 128, 128], np.uint8)
         modes["class"][oid] = np.tile(col, (v, 1))
@@ -310,7 +315,7 @@ for (const [oid, o] of Object.entries(DATA.objects)) {
   gl.bufferData(gl.ARRAY_BUFFER, bcol, gl.STATIC_DRAW);
   gl.enableVertexAttribArray(1); gl.vertexAttribPointer(1,3,gl.FLOAT,false,0,0);
   meshes[oid] = { vao, cb, n: f.length, bvao, visible: true,
-                  userData: { oid, maxY: o.maxY, score: o.score } };
+                  userData: { oid, minUp: o.minUp, score: o.score } };
 }
 gl.bindVertexArray(null);
 const ctr = [(lo[0]+hi[0])/2, (lo[1]+hi[1])/2, (lo[2]+hi[2])/2];
@@ -364,7 +369,7 @@ addEventListener('keydown', e => {
   if (k==='a') showBoxes = !showBoxes;
   if (k==='c') { ceilingHidden = !ceilingHidden;
     for (const m of Object.values(meshes))
-      if (m.userData.maxY > CEILING_HEIGHT) m.visible = !ceilingHidden; }
+      if (m.userData.minUp > CEILING_HEIGHT) m.visible = !ceilingHidden; }
   if (k==='h') { hideMisses = !hideMisses;
     for (const m of Object.values(meshes))
       if (m.userData.score !== null && m.userData.score !== undefined &&
@@ -442,6 +447,7 @@ def build_html(
     out_path: str,
     colorings: dict[str, dict] | None = None,
     class_colors=None,
+    class_id_offset: int = 0,
     scores: dict[int, float] | None = None,
     initial: str = "rgb",
     title: str = "openobj-tpu map",
@@ -455,7 +461,8 @@ def build_html(
     /query endpoint (viz.server) and installs the returned coloring as a
     'live' mode — interactive re-querying with real encoders, reference
     F/P keys (vis_interaction.py:322-438) without rebaking the HTML."""
-    modes = bundle_colorings(bundle, class_colors=class_colors)
+    modes = bundle_colorings(bundle, class_colors=class_colors,
+                             class_id_offset=class_id_offset)
     if colorings:
         modes.update(colorings)
     norm = C.normalize_scores(scores) if scores else {}
@@ -465,7 +472,10 @@ def build_html(
         objects[str(oid)] = {
             "v": _b64(v),
             "f": _b64(e["mesh"]["faces"].astype(np.uint32)),
-            "maxY": float(v[:, 1].max()) if len(v) else 0.0,
+            # reference ceiling heuristic: MIN vertex height along world
+            # up (z) > threshold -> the whole object sits above the line
+            # (vis_interaction.py:152 np.min(vertices[:, 2]))
+            "minUp": float(v[:, 2].min()) if len(v) else 0.0,
             "score": norm.get(oid) if scores else None,
         }
     data = {
@@ -530,6 +540,10 @@ def main(argv=None):
                     choices=("fake", "hf", "vocab"))
     ap.add_argument("--vocab", default=None, help="vocabulary npz for "
                     "--encoders vocab")
+    ap.add_argument("--class-id-offset", type=int, default=0,
+                    help="0: first-party vocabularies (unknown at index "
+                         "0); 1: the reference's render_config.yaml "
+                         "convention (mapping[class_id + 1])")
     ap.add_argument("--class-colors", default=None,
                     help="reference-format color map YAML, or a shipped "
                          "dataset name ('replica' | 'scannet', "
@@ -570,6 +584,7 @@ def main(argv=None):
 
     path = build_html(
         bundle, args.out_html, colorings=colorings, class_colors=class_colors,
+        class_id_offset=args.class_id_offset,
         scores=scores, initial=initial,
     )
     print(f"wrote {path}")

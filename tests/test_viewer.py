@@ -114,16 +114,24 @@ class TestShippedClassTables:
             assert cm.names == live.names
 
     def test_viewer_s_mode_uses_class_colors(self, bundle):
-        """'S' class mode: vertex colors come from the shipped table via
-        the viewer's class_id+1 lookup (vis_interaction.py:284)."""
+        """'S' class mode: with the first-party vocabulary (unknown at
+        index 0) semantic ids ARE raw table ids — no offset; the
+        reference's render_config convention (mapping[class_id + 1],
+        vis_interaction.py:284) is available via class_id_offset=1."""
         from openobj_tpu.viz import class_tables as ct
 
         b, _ = bundle
         m = ct.for_dataset("replica")
         for oid, e in b.items():
-            e["class_id"] = 19  # viewer looks up class_id + 1 = 20 (chair)
+            e["class_id"] = 20  # raw id 20 = chair in the shipped table
         modes = viewer.bundle_colorings(b, class_colors=m)
         expect = m.color_of(20)
+        for oid in b:
+            np.testing.assert_array_equal(modes["class"][oid][0], expect)
+        # reference convention: ids shifted down by one, offset restores
+        for oid, e in b.items():
+            e["class_id"] = 19
+        modes = viewer.bundle_colorings(b, class_colors=m, class_id_offset=1)
         for oid in b:
             np.testing.assert_array_equal(modes["class"][oid][0], expect)
 
