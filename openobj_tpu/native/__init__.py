@@ -106,9 +106,11 @@ def marching_tetrahedra(values: np.ndarray, level: float = 0.5):
         return mt(values, level)
     v = np.ascontiguousarray(values, dtype=np.float32)
     n0, n1, n2 = v.shape
-    # worst case ~ 2 verts + 4 faces per active cube; allocate generously
-    # and retry with doubled capacity on overflow
-    cap = max(1 << 16, int(v.size * 2))
+    # start modestly — iso-surfaces touch a small fraction of cubes, and a
+    # worst-case preallocation (2 verts + 4 faces per cube) costs ~36x the
+    # grid itself (~1.6 GB at 320^3); the x4 retry loop bounds the wasted
+    # recompute when a dense field really does overflow
+    cap = max(1 << 16, int(v.size) // 8)
     for _ in range(4):
         verts = np.empty((cap, 3), np.float64)
         faces = np.empty((cap * 2, 3), np.int64)

@@ -177,15 +177,15 @@ def maskgen_main(argv=None):
 
     mask_init = {}
     sel = _frame_indices(len(frames), args.start, args.skip, args.use_num)
-    for ordinal, raw_idx in enumerate(sel):
+    for raw_idx in sel:
         rgb, depth, _ = frames[raw_idx]
-        mask_init[ordinal] = generate_frame_masks(
+        mask_init[raw_idx] = generate_frame_masks(
             rgb, segmenter, captioner, clip_fn, sbert_fn,
             score_thresh=args.score_thresh, min_px=args.min_px,
             crop_pad=args.crop_pad, depth=depth,
         )
         print(f"[maskgen] frame {raw_idx}: "
-              f"{len(mask_init[ordinal]['mask'])} masks")
+              f"{len(mask_init[raw_idx]['mask'])} masks")
     out = args.out or os.path.join(args.scene_dir, "mask_init_all.pkl")
     save_mask_init(out, mask_init)
     print(f"[maskgen] wrote {out} ({len(mask_init)} frames)")
@@ -320,21 +320,33 @@ def associate_main(argv=None):
             # one GT image per raw frame: subsample like the reference
             # (mask_graph.py:959-961 natsorted glob then [::skip])
             gt_paths = [gt_paths[i] for i in sel]
-        elif len(gt_paths) < len(sel):
+        elif len(gt_paths) != len(sel):
+            # anything else is ambiguous: positional pairing with a stray
+            # extra/missing file would silently anchor every cluster with
+            # the WRONG GT image
             raise ValueError(
-                f"--gt-semantic-glob matched {len(gt_paths)} files for "
-                f"{len(sel)} association frames"
+                f"--gt-semantic-glob matched {len(gt_paths)} files — "
+                f"expected one per raw frame ({len(raw)}) or one per "
+                f"association frame ({len(sel)})"
             )
 
+    # first-party pickles key frames by RAW index (load_mask_init) — the
+    # pairing below is then correct by construction for ANY start/skip;
+    # reference pickles carry no frame record, so dense ordinal keys pair
+    # positionally (the reference's own behavior) and only a count
+    # mismatch is detectable
+    by_raw_index = set(mask_init) != set(range(len(mask_init)))
     frames = []
     for ordinal, raw_idx in enumerate(sel):
-        if ordinal not in mask_init:
+        key = raw_idx if (by_raw_index or raw_idx in mask_init) else ordinal
+        if key not in mask_init:
             raise KeyError(
-                f"mask_init_all.pkl has no frame {ordinal} — was maskgen "
-                f"run with the same --start/--skip?"
+                f"mask_init_all.pkl has no masks for raw frame {raw_idx} "
+                f"(ordinal {ordinal}) — was maskgen run with the same "
+                "--start/--skip?"
             )
         rgb, depth, t_wc = raw[raw_idx]
-        fm = mask_init[ordinal]
+        fm = mask_init[key]
         gt_sem = None
         if gt_paths is not None:
             import cv2

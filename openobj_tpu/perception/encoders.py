@@ -41,11 +41,28 @@ except Exception:  # pragma: no cover
 
 
 def load_mask_init(path: str) -> dict:
-    """Load mask_init_all.pkl (mask_gen.py:534-550): dict of per-frame lists
-    'mask' (HxW bool), 'bbox', 'caption' (str), 'capfeat' (384-d), 'clipfeat'
-    (512-d)."""
+    """Load mask_init_all.pkl -> frame-major {key: {field: list}}.
+
+    Accepts BOTH layouts: the reference's field-major
+    {"mask": [per-frame lists], "bbox": ..., ...} (mask_gen.py:534-550 —
+    also what save_mask_init writes) and the legacy first-party
+    frame-major dict. Keys are RAW frame indices when the pickle carries
+    the first-party "frame_idx" extension (the associate stage then pairs
+    masks to raw frames by index — immune to start/skip mismatches);
+    reference pickles have no frame record, so keys fall back to dense
+    ordinals 0..N-1 (positional pairing, the reference's own behavior)."""
     with open(path, "rb") as f:
-        return pickle.load(f)
+        data = pickle.load(f)
+    if "mask" not in data:
+        return data                       # already frame-major
+    n = len(data["mask"])
+    fields = ("mask", "bbox", "caption", "capfeat", "clipfeat")
+    keys = [int(k) for k in data["frame_idx"]] if "frame_idx" in data \
+        else list(range(n))
+    return {
+        k: {f: data[f][o] for f in fields if f in data}
+        for o, k in enumerate(keys)
+    }
 
 
 def load_object_features(output_dir: str):
@@ -84,16 +101,10 @@ def split_mask(
     from scipy.spatial import cKDTree
     from sklearn.cluster import DBSCAN
 
-    h, w = mask.shape
-    if cv2 is not None:
-        n, lab = cv2.connectedComponents(mask.astype(np.uint8), connectivity=8)
-        comps = [lab == i for i in range(1, n)]
-    else:
-        from scipy import ndimage
+    from openobj_tpu.perception.projection import connected_components
 
-        lab, n = ndimage.label(mask)
-        comps = [lab == i for i in range(1, n + 1)]
-    comps = [c for c in comps if c.sum() >= min_px]
+    h, w = mask.shape
+    comps = [c for c in connected_components(mask) if c.sum() >= min_px]
     if len(comps) <= 1:
         return comps
 

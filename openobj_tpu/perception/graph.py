@@ -76,7 +76,7 @@ def louvain_cluster(
             ii, jj, weighted[ii, jj], m, seed=seed + 1
         )
         if labels is not None:
-            return [int(x) for x in labels]
+            return _skip_junk_id([int(x) for x in labels])
     g = nx.Graph()
     g.add_nodes_from(range(m))
     g.add_weighted_edges_from(
@@ -92,7 +92,14 @@ def louvain_cluster(
     for cid, comm in enumerate(comms):
         for node in comm:
             ids[node] = cid
-    return ids
+    return _skip_junk_id(ids)
+
+
+def _skip_junk_id(ids: list[int]) -> list[int]:
+    """Community labels are dense 0..k-1; on scenes with >= 1000
+    communities a REAL cluster would land on the junk sentinel 999 and be
+    silently erased downstream — shift labels >= JUNK_ID up by one."""
+    return [i + 1 if i >= JUNK_ID else i for i in ids]
 
 
 def filter_rare_ids(cluster_ids: list[int], max_count: int) -> list[int]:

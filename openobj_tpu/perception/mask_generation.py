@@ -45,12 +45,14 @@ from openobj_tpu.perception.encoders import (
 
 
 def rank_order_masks(masks: np.ndarray, scores: np.ndarray):
-    """Paint masks into one id image in ascending score order (so the
-    highest-score mask wins overlaps, reference :291-295), then split the
-    image back into disjoint masks. Returns (list of masks, kept indices)."""
+    """Paint masks into one id image in DESCENDING score order (reference
+    :291-296: ranks sorted descending, painted in that order, so later —
+    lower-score — masks overwrite and the lowest-scoring overlapping mask
+    wins the shared pixels), then split the image back into disjoint
+    masks. Returns (list of masks, kept indices)."""
     h, w = masks.shape[-2:]
     idimg = np.zeros((h, w), np.int32)
-    order = np.argsort(scores)            # ascending; best painted last
+    order = np.argsort(-np.asarray(scores))  # descending; worst painted last
     for rank, i in enumerate(order):
         idimg[masks[i].astype(bool)] = rank + 1
     out_masks, kept = [], []
@@ -147,6 +149,18 @@ def generate_masks(
 
 
 def save_mask_init(path: str, mask_init: dict):
-    """Write the mask_init_all.pkl artifact (reference :534-550)."""
+    """Write the mask_init_all.pkl artifact in the REFERENCE layout
+    (:534-550): field-major {"mask": [per-frame lists], "bbox": ...,
+    "caption": ..., "capfeat": ..., "clipfeat": ...} so reference-produced
+    and first-party pickles interoperate both ways. ``mask_init`` is the
+    in-memory frame-major dict {raw_frame_idx: {field: list}}; the keys
+    are recorded under an extra "frame_idx" entry (first-party extension —
+    the associate stage pairs masks with raw frames BY INDEX instead of
+    positionally, so a start/skip mismatch cannot silently misalign;
+    reference readers ignore unknown keys)."""
+    keys = sorted(mask_init)
+    fields = ("mask", "bbox", "caption", "capfeat", "clipfeat")
+    all_data: dict = {f: [mask_init[k][f] for k in keys] for f in fields}
+    all_data["frame_idx"] = [int(k) for k in keys]
     with open(path, "wb") as f:
-        pickle.dump(mask_init, f)
+        pickle.dump(all_data, f)

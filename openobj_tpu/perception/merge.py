@@ -54,9 +54,16 @@ def majority_cluster_mean(vectors: np.ndarray, eps: float = 0.2,
 class GlobalClusters:
     """Per-cluster accumulated evidence across the sequence."""
 
-    def __init__(self, bg_feats: dict[str, np.ndarray], cap_thre: float = 0.8):
+    def __init__(self, bg_feats: dict[str, np.ndarray], cap_thre: float = 0.8,
+                 gt_mode: bool = False):
         self.bg_feats = bg_feats  # {"wall": [K,384], "floor": ..., "ceiling": ...}
         self.cap_thre = cap_thre
+        # gt_mode: GT semantics drive bg anchoring EXCLUSIVELY (reference
+        # if_bg branch, mask_graph.py:1125-1146) — a mask whose majority GT
+        # id is a real object class must not fall through to the caption-
+        # similarity override ('a wall of books' clearing cap_thre would
+        # route a bookshelf to reserved wall id 1 against the GT)
+        self.gt_mode = gt_mode
         self.points: dict[int, list] = {}
         self.capft: dict[int, list] = {}
         self.color: dict[int, list] = {}
@@ -64,7 +71,7 @@ class GlobalClusters:
     def _canonical_capft(self, capft: np.ndarray, gt_sem: str | None):
         if gt_sem in self.bg_feats:
             return self.bg_feats[gt_sem][0]
-        if gt_sem is None:
+        if gt_sem is None and not self.gt_mode:
             for name, fts in self.bg_feats.items():
                 if check_similarity(fts, capft, self.cap_thre):
                     return fts[0]
@@ -206,13 +213,19 @@ def second_stage_mapping(
         (sim_pc > weight_pc) & (sim_cap > weight_caption) & (sim_col > weight_color)
     ) | (sim_pc > 0.9)
 
-    def bg_id_of(i):
+    def _bg_id_of(i):
         if forced_bg and keys[i] in forced_bg:
             return forced_bg[keys[i]]
         for name, rid in RESERVED.items():
             if check_similarity(bg_feats.get(name), cap_l[i], cap_thre):
                 return rid
         return None
+
+    # pure function of the cluster index — evaluate once, not per pair
+    bg_of = [_bg_id_of(i) for i in range(n)]
+
+    def bg_id_of(i):
+        return bg_of[i]
 
     mapping: dict[int, int] = {}
     counter = 4
@@ -261,6 +274,12 @@ def write_artifacts(
     import cv2
 
     h, w = image_hw
+    top = max((max(ids) for ids in frame_final_ids if ids), default=0)
+    if top > 65535:
+        raise ValueError(
+            f"final id {top} exceeds the uint16 PNG id range — the "
+            "instance/class images would silently alias small ids"
+        )
     dir_class = os.path.join(output_dir, "class_our")
     dir_inst = os.path.join(output_dir, "instance_our")
     os.makedirs(dir_class, exist_ok=True)

@@ -131,7 +131,8 @@ def associate(
         cur += len(evs)
 
     # stage 4: global accumulation with bg caption anchoring
-    clusters = merge.GlobalClusters(bg_feats, cap_thre=cfg.cap_thre)
+    clusters = merge.GlobalClusters(bg_feats, cap_thre=cfg.cap_thre,
+                                gt_mode=bool(cfg.gt_bg_ids))
     for i, (evs, fids) in enumerate(zip(ev_per_frame, per_frame_ids)):
         fr = frames[i]
         for j, (ev, cid) in enumerate(zip(evs, fids)):

@@ -124,9 +124,17 @@ class TestFullWorkflow:
         return scene
 
     def test_maskgen_contract(self, ran_maskgen):
+        from openobj_tpu.perception.encoders import load_mask_init
+
+        # on disk: the reference's field-major layout + our frame_idx
         with open(os.path.join(ran_maskgen, "mask_init_all.pkl"), "rb") as f:
-            mi = pickle.load(f)
-        assert set(mi) == {0, 1, 2, 3}
+            raw = pickle.load(f)
+        assert set(raw) == {"mask", "bbox", "caption", "capfeat",
+                            "clipfeat", "frame_idx"}
+        assert raw["frame_idx"] == [0, 10, 20, 30]
+        # in memory: frame-major keyed by RAW frame index
+        mi = load_mask_init(os.path.join(ran_maskgen, "mask_init_all.pkl"))
+        assert set(mi) == {0, 10, 20, 30}
         fm = mi[0]
         assert set(fm) == {"mask", "bbox", "caption", "capfeat", "clipfeat"}
         assert len(fm["mask"]) >= 2            # wall + at least one sphere

@@ -65,10 +65,11 @@ class TestMaskGeneration:
         masks, kept = MG.rank_order_masks(
             np.stack([m1, m2]), np.array([0.9, 0.5])
         )
-        # m1 has the higher score: painted last, keeps the overlap
+        # reference paint order (mask_gen.py:291-296): highest score FIRST,
+        # lower scores overwrite -> the LOWEST-score mask keeps the overlap
         areas = {k: m.sum() for k, m in zip(kept, masks)}
-        assert areas[0] == 100          # full m1
-        assert areas[1] == 100 - 16     # m2 minus the overlap
+        assert areas[1] == 100          # full m2 (lower score, painted last)
+        assert areas[0] == 100 - 16     # m1 minus the overlap
 
     def test_multi_frame_driver(self, tmp_path):
         rng = np.random.default_rng(0)
