@@ -350,3 +350,63 @@ class TestScanNetPerceptionAuto:
         assert os.path.exists(scan / "object_clipfeat.pkl")
         assert os.path.exists(scan / "instance_our" /
                               "semantic_instance_0.png")
+
+
+class TestReferencePklInterop:
+    def test_field_major_pkl_without_frame_idx(self, tmp_path):
+        """A mask_init_all.pkl in the reference's exact field-major layout
+        (mask_gen.py:534-550, NO frame_idx) loads and pairs positionally
+        with the association frames — the interop the CLI advertises."""
+        from openobj_tpu.perception.encoders import load_mask_init
+
+        root = str(tmp_path / "scene")
+        write_replica_dataset(root, n_raw_frames=20)
+        # build a reference-layout pickle from our own maskgen output
+        pcli.maskgen_main([root, "--skip", "10", "--min-px", "30",
+                           "--seg-min-size", "48", "--seg-stride", "1",
+                           "--crop-pad", "2", "--clip-dim", "64"])
+        mi = load_mask_init(os.path.join(root, "mask_init_all.pkl"))
+        keys = sorted(mi)
+        assert keys == [0, 10]          # first-party: raw-index keys
+        ref_layout = {
+            f: [mi[k][f] for k in keys]
+            for f in ("mask", "bbox", "caption", "capfeat", "clipfeat")
+        }
+        with open(os.path.join(root, "mask_init_all.pkl"), "wb") as f:
+            pickle.dump(ref_layout, f)   # reference pickle: no frame_idx
+        mi2 = load_mask_init(os.path.join(root, "mask_init_all.pkl"))
+        assert sorted(mi2) == [0, 1]     # dense ordinals (positional)
+
+        yaml = pytest.importorskip("yaml")
+        ycfg = {"skip": 10, "graph_method": "weighted", "depth_scale": 1000,
+                "fx": 40.0, "fy": 40.0, "cx": 32.0, "cy": 24.0}
+        yp = tmp_path / "assoc.yaml"
+        yp.write_text(yaml.safe_dump(ycfg))
+        rc = pcli.associate_main([
+            root, "--config", str(yp), "--max-depth", "8.0",
+            "--min-component-px", "30", "--dbscan-min-points", "10",
+            "--dbscan-eps", "0.2", "--geo-bg",
+        ])
+        assert rc == 0
+        assert os.path.exists(os.path.join(root, "object_clipfeat.pkl"))
+
+    def test_start_skip_mismatch_detected(self, tmp_path):
+        """First-party pickles are keyed by raw index: an associate run
+        whose start/skip selects raw frames maskgen never processed fails
+        loudly instead of pairing masks with the wrong depth/pose."""
+        root = str(tmp_path / "scene")
+        write_replica_dataset(root, n_raw_frames=20)
+        pcli.maskgen_main([root, "--skip", "10", "--min-px", "30",
+                           "--seg-min-size", "48", "--seg-stride", "1",
+                           "--crop-pad", "2", "--clip-dim", "64"])
+        yaml = pytest.importorskip("yaml")
+        ycfg = {"skip": 7, "graph_method": "weighted", "depth_scale": 1000,
+                "fx": 40.0, "fy": 40.0, "cx": 32.0, "cy": 24.0}
+        yp = tmp_path / "assoc.yaml"
+        yp.write_text(yaml.safe_dump(ycfg))
+        with pytest.raises(KeyError, match="raw frame"):
+            pcli.associate_main([
+                root, "--config", str(yp), "--max-depth", "8.0",
+                "--min-component-px", "30", "--dbscan-min-points", "10",
+                "--dbscan-eps", "0.2",
+            ])
