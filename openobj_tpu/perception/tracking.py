@@ -73,6 +73,11 @@ class OnlineInstanceTracker:
     min_points: int = 10
     voxel_size: float = 0.01
     bbox_scale: float = 1.0
+    # new-object mask erosion (mask borders have unreliable depth,
+    # utils.py:246-249); the defaults assume full-res frames — scale down
+    # for small images or the erosion eats whole objects
+    erode_size: int = 5
+    erode_iters: int = 3
     instances: dict[int, TrackedInstance] = field(default_factory=dict)
 
     def ingest(
@@ -123,7 +128,7 @@ class OnlineInstanceTracker:
                 out_pix[valid] = ~inside
                 diff_mask = out_pix
             else:
-                small = _erode(mask)
+                small = _erode(mask, self.erode_size, self.erode_iters)
                 if small.sum() < self.min_pixels:
                     continue  # background (utils.py:251-255)
                 pts_s = backproject_depth(
@@ -150,3 +155,54 @@ class OnlineInstanceTracker:
             if diff_mask is not None:
                 inst_img[diff_mask] = -1
         return inst_img
+
+    def propose_ids(
+        self,
+        masks: list[np.ndarray],
+        depth: np.ndarray,
+        t_wc: np.ndarray,
+        match_frac: float = 0.3,
+        bg_test=None,
+    ) -> list[int]:
+        """Candidate instance ids for RAW (tracker-less) detections — the
+        piece the reference's live path left to an external detector.
+
+        Each mask's 3D points are tested against every tracked box; the
+        box containing the largest fraction (>= ``match_frac``) claims the
+        mask, each tracked id claiming at most one mask per frame (largest
+        overlap wins). Unmatched masks get fresh ids from 4 upward (1-3
+        are the reserved bg ids). ``bg_test(points) -> bool`` (e.g. a
+        merge.classify_bg_hull closure) routes background surfaces to id
+        0, which ``ingest`` skips — the SceneMapper's bg convention."""
+        props: list[tuple[int, float, int | None]] = []  # (k, frac, iid)
+        pts_per_mask: list[np.ndarray | None] = []
+        for mask in masks:
+            pts = backproject_depth(
+                np.where(mask, depth, 0.0), self.fx, self.fy, self.cx,
+                self.cy, t_wc,
+            )
+            pts_per_mask.append(pts if len(pts) > self.min_points else None)
+        ids = [0] * len(masks)
+        for k, pts in enumerate(pts_per_mask):
+            if pts is None:
+                continue
+            if bg_test is not None and bg_test(pts):
+                continue                      # stays 0 -> background
+            best_frac, best_id = 0.0, None
+            for iid, tr in self.instances.items():
+                frac = float(_points_inside(tr.box, pts).mean())
+                if frac > best_frac:
+                    best_frac, best_id = frac, iid
+            props.append((k, best_frac, best_id))
+        # greedy assignment, strongest overlap first; one mask per id
+        taken: set[int] = set()
+        fresh = max(self.instances, default=3) + 1
+        fresh = max(fresh, 4)
+        for k, frac, iid in sorted(props, key=lambda t: -t[1]):
+            if iid is not None and frac >= match_frac and iid not in taken:
+                ids[k] = iid
+                taken.add(iid)
+            else:
+                ids[k] = fresh
+                fresh += 1
+        return ids

@@ -264,3 +264,66 @@ class TestGraphSegmenter:
         assert len(out["mask"]) >= 2
         assert all(m.sum() >= 100 for m in out["mask"])
         assert len(out["clipfeat"]) == len(out["mask"])
+
+
+class TestProposeIds:
+    def _tracker(self):
+        return OnlineInstanceTracker(fx=40.0, fy=40.0, cx=31.5, cy=23.5,
+                                     min_pixels=40, min_points=10,
+                                     erode_size=3, erode_iters=1)
+
+    def _frame(self, cx_px):
+        """A square object at depth 1 m on a far background."""
+        h, w = 48, 64
+        depth = np.full((h, w), 5.0, np.float32)
+        mask = np.zeros((h, w), bool)
+        mask[16:32, cx_px - 8 : cx_px + 8] = True
+        rng = np.random.default_rng(0)
+        depth[mask] = 1.0 + rng.uniform(0, 0.03, int(mask.sum()))
+        return depth, mask
+
+    def test_new_then_matched(self):
+        tr = self._tracker()
+        depth, mask = self._frame(24)
+        ids = tr.propose_ids([mask], depth, np.eye(4))
+        assert ids == [4]                       # fresh ids start at 4
+        tr.ingest([mask], ids, depth, np.eye(4))
+        # same object, slightly moved: matched to the tracked box
+        depth2, mask2 = self._frame(26)
+        ids2 = tr.propose_ids([mask2], depth2, np.eye(4))
+        assert ids2 == [4]
+
+    def test_two_masks_one_frame_get_distinct_fresh_ids(self):
+        tr = self._tracker()
+        h, w = 48, 64
+        depth = np.full((h, w), 5.0, np.float32)
+        m1 = np.zeros((h, w), bool); m1[10:26, 8:24] = True
+        m2 = np.zeros((h, w), bool); m2[10:26, 40:56] = True
+        depth[m1] = 1.0
+        depth[m2] = 2.0
+        ids = tr.propose_ids([m1, m2], depth, np.eye(4))
+        assert sorted(ids) == [4, 5]
+
+    def test_bg_test_routes_to_zero(self):
+        tr = self._tracker()
+        depth, mask = self._frame(24)
+        ids = tr.propose_ids([mask], depth, np.eye(4),
+                             bg_test=lambda pts: True)
+        assert ids == [0]
+
+    def test_one_tracked_id_claims_one_mask(self):
+        """Two overlapping-in-3D detections in one frame: only the better
+        match keeps the tracked id; the other gets a fresh id."""
+        tr = self._tracker()
+        depth, mask = self._frame(24)
+        tr.ingest([mask], tr.propose_ids([mask], depth, np.eye(4)),
+                  depth, np.eye(4))
+        d2, m_full = self._frame(24)
+        # a sloppy detection: half the object + a slab of off-box points
+        m_noisy = m_full.copy()
+        m_noisy[:, :24] = False                # right half of the object
+        m_noisy[36:46, 40:60] = True           # plus off-object area...
+        d2[36:46, 40:60] = 3.0                 # ...outside the tracked box
+        ids = tr.propose_ids([m_noisy, m_full], d2, np.eye(4))
+        assert ids[1] == 4                     # clean mask: larger overlap
+        assert ids[0] not in (0, 4)
