@@ -35,6 +35,13 @@ def __getattr__(name):
         "TrainConfig": ("openobj_tpu.core.trainer", "TrainConfig"),
         "load_scene_config": ("openobj_tpu.config", "load_scene_config"),
         "make_mapper": ("openobj_tpu.config", "make_mapper"),
+        "GraphSegmenter": ("openobj_tpu.perception.segmentation",
+                           "GraphSegmenter"),
+        "OnlineInstanceTracker": ("openobj_tpu.perception.tracking",
+                                  "OnlineInstanceTracker"),
+        "associate": ("openobj_tpu.perception.pipeline", "associate"),
+        "AssociationConfig": ("openobj_tpu.perception.pipeline",
+                              "AssociationConfig"),
     }
     if name in lazy:
         mod, attr = lazy[name]
