@@ -205,26 +205,41 @@ if __name__ == "__main__":
                            "the alarm window (TPU tunnel hang?)")
 
     signal.signal(signal.SIGALRM, _watchdog)
+    # Retry ladder for transient tunnel errors: outages have been observed
+    # to last hours (memory: 2026-08-18 down >= 4 h), so back off
+    # 30 s -> 5 min -> 15 min -> 30 min before giving up — a driver-time
+    # bench then survives any outage shorter than ~1 h + 4 watchdog
+    # windows. Each retry RE-EXECS this script in a fresh process: a dead
+    # tunnel can wedge the initialized in-process JAX backend permanently,
+    # so an in-process retry could fail even after the tunnel recovers.
+    _SLEEPS = (30, 300, 900, 1800)
+    attempt = 0
+    if len(sys.argv) >= 3 and sys.argv[1] == "--attempt":
+        attempt = int(sys.argv[2])
     try:
         signal.alarm(1200)
         main()
         signal.alarm(0)
     except Exception as e:  # noqa: BLE001
+        import os
         import traceback
 
         signal.alarm(0)
         msg = f"{type(e).__name__}: {e}"
         transient = any(
             s in msg
-            for s in ("FAILED_PRECONDITION", "UNAVAILABLE", "DEADLINE_EXCEEDED",
-                      "Socket closed", "Connection reset")
+            for s in ("FAILED_PRECONDITION", "UNAVAILABLE",
+                      "DEADLINE_EXCEEDED", "Socket closed",
+                      "Connection reset")
         )
-        if not transient:
+        if not transient or attempt >= len(_SLEEPS):
             raise
         traceback.print_exc()
-        print(f"bench attempt 1 hit transient tunnel error ({msg}); "
-              "retrying once", file=sys.stderr)
-        time.sleep(30)
-        signal.alarm(1200)
-        main()
-        signal.alarm(0)
+        print(f"bench attempt {attempt + 1} hit transient tunnel error "
+              f"({msg}); re-exec retry in {_SLEEPS[attempt]} s",
+              file=sys.stderr)
+        sys.stdout.flush()
+        sys.stderr.flush()
+        time.sleep(_SLEEPS[attempt])
+        os.execv(sys.executable, [sys.executable, os.path.abspath(__file__),
+                                  "--attempt", str(attempt + 1)])
