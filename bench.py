@@ -230,7 +230,10 @@ if __name__ == "__main__":
             s in msg
             for s in ("FAILED_PRECONDITION", "UNAVAILABLE",
                       "DEADLINE_EXCEEDED", "Socket closed",
-                      "Connection reset")
+                      "Connection reset",
+                      # tunnel-down also manifests as the axon PJRT plugin
+                      # failing registration outright (observed 2026-08-18)
+                      "Unable to initialize backend")
         )
         if not transient or attempt >= len(_SLEEPS):
             raise
