@@ -39,6 +39,10 @@ def __getattr__(name):
                            "GraphSegmenter"),
         "OnlineInstanceTracker": ("openobj_tpu.perception.tracking",
                                   "OnlineInstanceTracker"),
+        "import_torch_checkpoint": ("openobj_tpu.interop",
+                                    "import_torch_checkpoint"),
+        "export_torch_checkpoint": ("openobj_tpu.interop",
+                                    "export_torch_checkpoint"),
         "associate": ("openobj_tpu.perception.pipeline", "associate"),
         "AssociationConfig": ("openobj_tpu.perception.pipeline",
                               "AssociationConfig"),
