@@ -53,9 +53,77 @@ def save_map_bundle(path: str, objects: dict[int, dict]):
         pickle.dump(objects, f)
 
 
-def load_map_bundle(path: str) -> dict[int, dict]:
+def load_map_bundle(path: str, normalize: bool = True) -> dict[int, dict]:
+    """Load a map_vis bundle — ours, or one written by the reference's
+    gen_map_vis.py (:128-146). Unknown pickled classes (e.g. the
+    reference's trimesh mesh objects when trimesh isn't importable here)
+    deserialize as attribute bags, and ``normalize`` rewrites every entry
+    into this package's schema (dict mesh, [V,3] color, numpy features) —
+    see ``normalize_bundle``."""
+    from openobj_tpu.interop import _BagUnpickler
+
     with gzip.open(path, "rb") as f:
-        return pickle.load(f)
+        bundle = _BagUnpickler(f).load()
+    return normalize_bundle(bundle) if normalize else bundle
+
+
+def _to_numpy(x, dtype=np.float32):
+    if x is None:
+        return None
+    if hasattr(x, "detach"):  # torch tensor (reference saves these raw)
+        x = x.detach().cpu().numpy()
+    return np.asarray(x, dtype)
+
+
+def normalize_bundle(bundle: dict) -> dict[int, dict]:
+    """Rewrite reference-written map_vis entries into our schema.
+
+    The reference pickles trimesh meshes, RGBA uint8 vertex colors, and
+    raw torch feature tensors (gen_map_vis.py:128-137); our consumers
+    (viz.query, viz.viewer, viz.server) expect {"vertices", "faces"} dict
+    meshes, [V, 3] colors, and numpy features. Entries already in our
+    schema pass through unchanged, so this is safe to apply always."""
+    out: dict[int, dict] = {}
+    for oid, e in bundle.items():
+        mesh = e.get("mesh")
+        if not isinstance(mesh, dict):
+            v = getattr(mesh, "vertices", None)
+            f = getattr(mesh, "faces", None)
+            if v is None or f is None:
+                raise ValueError(
+                    f"object {oid}: mesh of type {type(mesh).__name__} "
+                    "carries no vertices/faces — install trimesh so the "
+                    "reference's mesh objects unpickle fully"
+                )
+            mesh = {
+                "vertices": np.asarray(v, np.float32),
+                "faces": np.asarray(f, np.uint32),
+            }
+        else:
+            mesh = {
+                "vertices": np.asarray(mesh["vertices"], np.float32),
+                "faces": np.asarray(mesh["faces"], np.uint32),
+            }
+        color = _to_numpy(e.get("color"), dtype=None)
+        if color is not None:
+            if color.ndim == 2 and color.shape[1] == 4:  # trimesh RGBA
+                color = color[:, :3]
+            if color.dtype != np.uint8:  # floats in [0,1] -> uint8
+                color = (np.clip(color, 0.0, 1.0) * 255).astype(np.uint8)
+        class_id = e.get("class_id")
+        if class_id is not None:
+            class_id = int(
+                class_id.item() if hasattr(class_id, "item") else class_id
+            )
+        out[int(oid)] = {
+            "mesh": mesh,
+            "color": color,
+            "part_feat": _to_numpy(e.get("part_feat")),
+            "clip_feat": _to_numpy(e.get("clip_feat")),
+            "caption_feat": _to_numpy(e.get("caption_feat")),
+            "class_id": class_id,
+        }
+    return out
 
 
 def export_scene_map(

@@ -232,3 +232,89 @@ def test_cli(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "converted 1 object checkpoints" in out
     assert (tmp_path / "out" / "5" / "obj_5.npz").exists()
+
+
+def test_reference_map_vis_bundle_loads(tmp_path):
+    """A reference-written map_vis.pkl.gz (gen_map_vis.py:128-146: trimesh
+    mesh objects, RGBA uint8 colors, raw torch feature tensors) loads and
+    drives the full serving stack. The mesh class lives in a module that
+    doesn't exist at load time (like trimesh here) -> attribute-bag path."""
+    import gzip
+    import pickle
+    import types as _types
+
+    from openobj_tpu.viz import export as viz_export
+    from openobj_tpu.viz import query as viz_query
+    from openobj_tpu.viz import viewer as viz_viewer
+
+    fake = _types.ModuleType("trimesh_fake")
+
+    class Trimesh:
+        pass
+
+    Trimesh.__module__ = "trimesh_fake"
+    Trimesh.__qualname__ = "Trimesh"
+    fake.Trimesh = Trimesh
+    sys.modules["trimesh_fake"] = fake
+
+    rng = np.random.default_rng(0)
+    bundle = {}
+    try:
+        for oid in (4, 5):
+            mesh = Trimesh()
+            mesh.vertices = rng.normal(size=(12, 3))
+            mesh.faces = rng.integers(0, 12, (8, 3))
+            bundle[oid] = {
+                "mesh": mesh,
+                "color": rng.integers(0, 255, (12, 4)).astype(np.uint8),
+                "part_feat": torch.randn(12, 6),
+                "clip_feat": torch.randn(3, 6),      # stacked per-keyframe
+                "caption_feat": torch.randn(3, 5),
+                "class_id": torch.tensor(9) if oid == 4 else 9,
+            }
+        p = tmp_path / "map_vis.pkl.gz"
+        with gzip.open(p, "wb") as f:
+            pickle.dump(bundle, f)
+    finally:
+        sys.modules.pop("trimesh_fake", None)
+
+    loaded = viz_export.load_map_bundle(str(p))
+    for oid in (4, 5):
+        e = loaded[oid]
+        assert e["mesh"]["vertices"].shape == (12, 3)
+        assert e["mesh"]["faces"].dtype == np.uint32
+        assert e["color"].shape == (12, 3) and e["color"].dtype == np.uint8
+        assert e["clip_feat"].shape == (3, 6)
+        assert isinstance(e["part_feat"], np.ndarray)
+        assert e["class_id"] == 9
+
+    # full serve path on the normalized bundle: query + colorings + HTML
+    def enc6(texts):
+        return np.asarray(
+            [np.sin(np.arange(6) + len(t)) for t in texts], np.float32)
+
+    def enc5(texts):
+        return np.asarray(
+            [np.cos(np.arange(5) + len(t)) for t in texts], np.float32)
+
+    scores = viz_query.query_objects("a chair", loaded, enc6, enc5)
+    assert set(scores) == {4, 5}
+    colorings = viz_viewer.bundle_colorings(loaded)
+    assert colorings["rgb"][4].shape == (12, 3)
+    html = tmp_path / "v.html"
+    viz_viewer.build_html(loaded, str(html),
+                          colorings={"query": viz_viewer.bake_object_query(
+                              loaded, scores)}, scores=scores)
+    assert html.stat().st_size > 1000
+
+
+def test_bundle_mesh_without_vertices_raises(tmp_path):
+    import gzip
+    import pickle
+
+    from openobj_tpu.viz import export as viz_export
+
+    with gzip.open(tmp_path / "b.pkl.gz", "wb") as f:
+        pickle.dump({1: {"mesh": object()}}, f)
+    with pytest.raises(ValueError, match="vertices"):
+        viz_export.load_map_bundle(str(tmp_path / "b.pkl.gz"))
