@@ -181,7 +181,22 @@ def export_from_checkpoints(
 
     paths = sorted(_glob.glob(os.path.join(ckpt_root, "*", "obj_*.npz")))
     if not paths:
-        raise FileNotFoundError(f"no obj_<id>.npz checkpoints under {ckpt_root}")
+        # a reference training run (torch obj_<id>.pth tree,
+        # vmap.py:556-576)? convert it in place and continue
+        pth = _glob.glob(os.path.join(ckpt_root, "**", "obj_*.pth"),
+                         recursive=True)
+        if pth:
+            import tempfile
+
+            from openobj_tpu import interop
+
+            conv = tempfile.mkdtemp(prefix="openobj_ref_ckpt_")
+            paths = sorted(interop.convert_checkpoint_dir(ckpt_root, conv))
+        else:
+            raise FileNotFoundError(
+                f"no obj_<id>.npz (or reference obj_<id>.pth) checkpoints "
+                f"under {ckpt_root}"
+            )
     out: dict[int, dict] = {}
     templates = {}
     for p in paths:

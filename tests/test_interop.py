@@ -318,3 +318,38 @@ def test_bundle_mesh_without_vertices_raises(tmp_path):
         pickle.dump({1: {"mesh": object()}}, f)
     with pytest.raises(ValueError, match="vertices"):
         viz_export.load_map_bundle(str(tmp_path / "b.pkl.gz"))
+
+
+def test_export_from_reference_pth_tree(tmp_path):
+    """viz.export.export_from_checkpoints on a raw reference .pth tree:
+    auto-converts and meshes (the gen_map_vis.py migration one-liner)."""
+    import jax
+
+    from openobj_tpu.utils.geometry import OrientedBox
+    from openobj_tpu.viz import export as viz_export
+
+    params = object_field.init_field_params(
+        jax.random.PRNGKey(5), hidden=HIDDEN, clip_size=CLIP, scale=2.0
+    )
+    d = tmp_path / "ckpt" / "4"
+    d.mkdir(parents=True)
+    interop.export_torch_checkpoint(
+        str(d / "obj_4.pth"), 4, jax.tree.map(np.asarray, params),
+        bbox3d=OrientedBox(np.zeros(3), np.eye(3), np.ones(3) * 0.4),
+        clip_feats=np.random.default_rng(0).normal(
+            size=(2, CLIP)).astype(np.float32),
+        caption_feats=np.random.default_rng(1).normal(
+            size=(2, 5)).astype(np.float32),
+        semantic_id=3,
+    )
+    bundle = viz_export.export_from_checkpoints(
+        str(tmp_path / "ckpt"), str(tmp_path / "map.pkl.gz"),
+        hidden=HIDDEN, clip_size=CLIP, grid_dim=16,
+    )
+    # random-init fields may produce no level-0.5 surface; the contract
+    # here is the conversion path + a loadable bundle file
+    loaded = viz_export.load_map_bundle(str(tmp_path / "map.pkl.gz"))
+    assert set(loaded) == set(bundle)
+    for e in loaded.values():
+        assert e["mesh"]["vertices"].shape[1] == 3
+        assert e["class_id"] == 3
