@@ -9,7 +9,9 @@ mask_graph.py:31-122) and ``filter_id`` (:140-147):
   * threshold mode: all four cues above their thresholds;
   * Louvain community detection over the weighted graph (the reference's
     python-louvain best_partition; we use networkx's built-in
-    louvain_communities — same algorithm);
+    louvain_communities — same algorithm), with the reference's Greedy
+    (greedy_modularity_communities) and GNewman (first girvan_newman
+    level, mask_graph.py:109-121) alternatives;
   * clusters observed <= frame_count/50 times across the sequence are
     junked to id 999.
 """
@@ -86,6 +88,10 @@ def louvain_cluster(
         comms = nx.community.louvain_communities(g, weight="weight", seed=seed)
     elif method == "Greedy":
         comms = nx.community.greedy_modularity_communities(g, weight="weight")
+    elif method == "GNewman":
+        # reference mask_cluster(method="GNewman") takes the FIRST level of
+        # the girvan_newman hierarchy (mask_graph.py:109-121)
+        comms = next(nx.community.girvan_newman(g))
     else:
         raise ValueError(f"unknown clustering method {method}")
     ids = [0] * m

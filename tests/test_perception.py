@@ -115,6 +115,26 @@ class TestGraph:
         out = graph.filter_rare_ids(ids, 1)
         assert out == [1, 1, 1, graph.JUNK_ID]
 
+    def test_alternative_clustering_methods(self):
+        """Greedy and GNewman (reference mask_cluster alternatives,
+        mask_graph.py:99-121) recover the same two-community split."""
+        n = 6
+        geo = np.eye(n)
+        for grp in ((0, 1, 2), (3, 4, 5)):
+            for i in grp:
+                for j in grp:
+                    geo[i, j] = 1.0
+        # one bridge edge between the groups: girvan_newman only yields
+        # once the component count grows, so its first level on a
+        # disconnected graph would split a clique instead
+        geo[2, 3] = geo[3, 2] = 1.0
+        adj, weighted = graph.build_adjacency(geo, geo, geo, geo)
+        for method in ("Greedy", "GNewman"):
+            ids = graph.louvain_cluster(adj, weighted, method=method)
+            assert ids[0] == ids[1] == ids[2]
+            assert ids[3] == ids[4] == ids[5]
+            assert ids[0] != ids[3]
+
 
 class TestMerge:
     def test_overlap_ratio(self, rng):
