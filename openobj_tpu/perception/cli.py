@@ -30,6 +30,7 @@ import numpy as np
 
 from openobj_tpu.data.transforms import scale_depth
 from openobj_tpu.perception import encoders as enc
+from openobj_tpu.perception import graph as graph_mod
 from openobj_tpu.perception import merge, partfeat, pipeline
 from openobj_tpu.perception.mask_generation import (
     generate_frame_masks, min_rect_bbox, save_mask_init,
@@ -291,6 +292,11 @@ def associate_main(argv=None):
                          "stand-in for TAP caption anchoring)")
     ap.add_argument("--geo-bg-up-axis", type=int, default=2)
     ap.add_argument("--geo-bg-min-extent", type=float, default=2.0)
+    ap.add_argument("--debug-overlays", default=None, metavar="DIR",
+                    help="write color-coded association overlays to "
+                         "DIR/before (pre-merge clusters) and DIR/after "
+                         "(final ids) — the reference's cross-view QA "
+                         "PNGs (mask_graph.py:1204-1238)")
     _add_encoder_flags(ap)
     args = ap.parse_args(argv)
 
@@ -378,6 +384,16 @@ def associate_main(argv=None):
         out["clipfeats"], out["capfeats"], out["captions"],
         image_hw=frames[0].depth.shape,
     )
+    if args.debug_overlays:
+        hw = frames[0].depth.shape
+        merge.write_cluster_overlays(
+            os.path.join(args.debug_overlays, "before"),
+            out["masks"], out["cluster_ids"], hw, skip_id=graph_mod.JUNK_ID,
+        )
+        merge.write_cluster_overlays(
+            os.path.join(args.debug_overlays, "after"),
+            out["masks"], out["final_ids"], hw, skip_id=0,
+        )
     print(f"[associate] {out['n_objects']} global objects over "
           f"{len(frames)} frames -> {out_dir}")
     return 0

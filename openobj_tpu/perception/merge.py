@@ -308,3 +308,36 @@ def write_artifacts(
     ):
         with open(os.path.join(output_dir, name), "wb") as f:
             pickle.dump(data, f)
+
+
+def write_cluster_overlays(
+    out_dir: str,
+    frame_masks: list[list[np.ndarray]],
+    frame_ids: list[list[int]],
+    image_hw: tuple[int, int],
+    skip_id: int = 0,
+    seed: int = 0,
+):
+    """Color-coded association overlays — the reference's cross-view QA
+    artifact (mask_graph.py:1204-1238 writes before/ and after/ trees of
+    inst_<i>.png, each mask painted with its cluster's random color; the
+    pre-merge pass skips junk 999, the post-merge pass skips bg 0).
+
+    One call writes one tree; the CLI calls it twice with
+    (cluster_ids, skip_id=JUNK_ID) and (final_ids, skip_id=0)."""
+    import cv2
+
+    from openobj_tpu.viz.colors import distinct_colors
+
+    os.makedirs(out_dir, exist_ok=True)
+    top = max((max(ids) for ids in frame_ids if ids), default=0)
+    palette = distinct_colors(top + 1, seed=seed)   # [n, 3] uint8
+    h, w = image_hw
+    for i, (masks, ids) in enumerate(zip(frame_masks, frame_ids)):
+        img = np.zeros((h, w, 3), np.uint8)
+        for mask, cid in zip(masks, ids):
+            if cid != skip_id:
+                img[mask] = palette[cid % len(palette)]
+        # cv2 writes BGR; the overlay is a debug artifact where only
+        # color DISTINCTNESS matters, but keep channels honest anyway
+        cv2.imwrite(os.path.join(out_dir, f"inst_{i}.png"), img[..., ::-1])

@@ -167,6 +167,7 @@ class TestFullWorkflow:
             os.path.join(ran_maskgen, "gt_semantic", "*.png"),
             "--dbscan-min-points", "10", "--dbscan-eps", "0.2",
             "--min-component-px", "20",
+            "--debug-overlays", os.path.join(ran_maskgen, "graph_vis"),
         ])
         assert rc == 0
         return ran_maskgen
@@ -198,6 +199,19 @@ class TestFullWorkflow:
         persistent = set.intersection(*obj_ids[:2])
         assert persistent, f"no persistent object ids: {obj_ids}"
         assert all(isinstance(c, str) for d in cap_pkl for c in d.values())
+
+    def test_debug_overlays(self, ran_associate):
+        """--debug-overlays writes the before/after QA trees
+        (reference mask_graph.py:1204-1238) as RGB PNGs."""
+        for sub in ("before", "after"):
+            p = os.path.join(ran_associate, "graph_vis", sub, "inst_0.png")
+            im = cv2.imread(p, cv2.IMREAD_UNCHANGED)
+            assert im is not None and im.shape == (H, W, 3)
+        # the after overlay paints every non-bg-0 mask: the persistent
+        # object must appear as a non-black region
+        im = cv2.imread(
+            os.path.join(ran_associate, "graph_vis", "after", "inst_0.png"))
+        assert (im.sum(-1) > 0).sum() > 50
 
     @pytest.fixture(scope="class")
     def ran_partfeat(self, ran_associate):
