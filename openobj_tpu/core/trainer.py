@@ -84,6 +84,14 @@ class TrainConfig:
     # concatenated [O, K] parameter matrix — bit-identical, see optim)
     optim_impl: str = "tree"
 
+    # rematerialize the field forward in the backward pass
+    # (jax.checkpoint): the xplane profile shows the fwd activation slabs
+    # ([O,119,32]/[O,74,32] per trunk layer) spilled to HBM and
+    # prefetch-copied back for the gradient GEMMs every step; remat trades
+    # those round-trips for recompute FLOPs (the MXU idles at <1% peak
+    # here, so FLOPs are ~free). Measured before flipping the default.
+    remat: bool = False
+
     @property
     def n_rays_per_step(self) -> int:
         return self.win_size * self.n_samples_per_frame        # 120
@@ -452,6 +460,10 @@ def _loss_for_slice(params, batch, active, cfg: TrainConfig, is_bg: bool):
             return object_field.field_apply(
                 p, x, max_deg=cfg.max_deg, do_clip=cfg.part_mode,
                 clip_hidden_only=True, compute_dtype=cfg.compute_dtype)
+
+    if cfg.remat:
+        apply_stacked = jax.checkpoint(apply_stacked)
+        apply_single = jax.checkpoint(apply_single)
 
     # points reconstructed elementwise from the per-ray data (never
     # materialized in the batch — _sample_batch docstring); center was
