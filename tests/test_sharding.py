@@ -49,6 +49,72 @@ class TestGraftEntry:
         g.dryrun_multichip(8)  # asserts internally
 
 
+class TestDryrunDriverEnvironment:
+    """Round-2 regression (MULTICHIP_r02.json ok=false): the container's
+    sitecustomize forces the platform via jax.config.update at interpreter
+    start, so env vars (JAX_PLATFORMS/XLA_FLAGS) are lies. These tests run
+    WITHOUT conftest, in subprocesses that reproduce that hostile setup."""
+
+    def _run(self, code, tmp_path, extra_env=None, timeout=540):
+        import os
+        import subprocess
+        import sys
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        # Fake sitecustomize: forces a 1-device CPU backend through jax.config
+        # (the mechanism the real axon sitecustomize uses), regardless of what
+        # the env claims — exactly the condition that defeated round 2.
+        (tmp_path / "sitecustomize.py").write_text(
+            "import jax\n"
+            "jax.config.update('jax_platforms', 'cpu')\n"
+            "jax.config.update('jax_num_cpu_devices', 1)\n"
+        )
+        env = dict(os.environ)
+        env.pop("_OPENOBJ_DRYRUN_CHILD", None)
+        env["PYTHONPATH"] = f"{tmp_path}{os.pathsep}{repo}"
+        # The env LIES: claims an 8-device CPU platform the sitecustomize
+        # overrides. The old probe believed this and skipped the child.
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+        # share the suite's persistent compile cache so the child is fast
+        env.setdefault(
+            "JAX_COMPILATION_CACHE_DIR",
+            os.path.join(repo, ".cache", "jax"),
+        )
+        env.update(extra_env or {})
+        return subprocess.run(
+            [sys.executable, "-c", code],
+            env=env, cwd=repo, capture_output=True, text=True, timeout=timeout,
+        )
+
+    def test_probe_is_env_blind(self, tmp_path):
+        """With the backend uninitialized and the env claiming cpu×8, the
+        probe must report UNKNOWN (None) — never an env-derived count."""
+        res = self._run(
+            "import __graft_entry__ as g\n"
+            "n = g._initialized_device_count()\n"
+            "assert n is None, f'probe trusted something pre-init: {n}'\n"
+            "print('PROBE_NONE')\n",
+            tmp_path,
+        )
+        assert res.returncode == 0, res.stderr
+        assert "PROBE_NONE" in res.stdout
+
+    def test_dryrun_reaches_child_and_succeeds(self, tmp_path):
+        """Full gate under the hostile setup: parent sees (at most) 1 device
+        no matter what env says, must route to the tunnel-free child, and
+        the child's late jax.config.update calls must defeat the fake
+        sitecustomize (which also runs in the child via PYTHONPATH)."""
+        res = self._run(
+            "import __graft_entry__ as g\n"
+            "g.dryrun_multichip(4)\n",
+            tmp_path,
+        )
+        assert res.returncode == 0, f"stdout:{res.stdout}\nstderr:{res.stderr}"
+        assert "dryrun_multichip OK [1d-object]" in res.stdout
+        assert "dryrun_multichip OK [2d-data2]" in res.stdout
+
+
 class TestShardedParity:
     def test_sharded_equals_replicated(self, eight_devices, key):
         """One train_frame step with object-sharded state must match the
