@@ -175,6 +175,13 @@ def main():
                 "value": round(rays_per_sec, 1),
                 "unit": "rays/s",
                 "vs_baseline": round(rays_per_sec / REF_RAYS_PER_SEC, 2),
+                # the reference publishes no numbers; the denominator is the
+                # documented workload-envelope estimate derived in this
+                # module's docstring (~5e5 rays/s for the torch loop), NOT a
+                # measured baseline — flagged so the ratio is self-describing
+                "baseline_is_estimate": True,
+                "baseline_derivation": "bench.py docstring: 7.2e5 ray-evals/"
+                                       "frame at ~1.5 s/frame est. torch loop",
                 "detail": {
                     "sec_per_frame": round(sec_per_frame, 4),
                     "compile_s": round(compile_s, 1),
@@ -182,6 +189,11 @@ def main():
                     "point_evals_per_frame": rays_per_frame * 10,
                     "objects": N_ACTIVE_OBJECTS,
                     "device": str(jax.devices()[0]),
+                    # PROJECTION, not a measurement: the object axis is
+                    # embarrassingly parallel (parallel/sharding.py), so a
+                    # v5e-8 slice scales ~x8; no 8-chip hardware exists here
+                    "v5e8_projection_rays_per_sec": round(rays_per_sec * 8, 1),
+                    "v5e8_projection_is_estimate": True,
                     **flops_detail,
                 },
             }

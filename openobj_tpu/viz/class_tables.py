@@ -17,7 +17,9 @@ the tables are GENERATED from the public dataset vocabularies:
     (tissue-paper), which the reference maps to 42 ("appliance") in
     contradiction with its own inline comment and name table
     (replica_color.yaml:85 says "tissue-paper -> tissue-paper" = 50) — we
-    emit the self-consistent 50.
+    emit the self-consistent 50 by default; ``strict_reference=True``
+    reproduces the reference's 42 for bit-honest mIoU against
+    reference-produced artifacts.
   * ScanNet: the public NYU40 vocabulary with the ScanNet benchmark's
     standard color palette (``SCANNET_NYU40``); identity mapping.
 
@@ -154,8 +156,23 @@ def _merged_tables(raw_names, merge):
     return mapping, names, colors
 
 
-def replica_map() -> ClassColorMap:
+# The reference's one verified self-inconsistency: replica_color.yaml:85
+# maps raw 83 (tissue-paper) to merged id 42 ("appliance") while its own
+# comment says "tissue-paper -> tissue-paper" (= 50, where raw 57
+# paper-towel correctly lands, replica_color.yaml:57). raw_id -> the
+# reference's mapped id, applied only under strict_reference.
+_REPLICA_REFERENCE_QUIRKS = {83: 42}
+
+
+def replica_map(strict_reference: bool = False) -> ClassColorMap:
+    """Replica merged-class table. ``strict_reference=True`` reproduces the
+    reference's numbering bit-for-bit INCLUDING its verified
+    inconsistencies (``_REPLICA_REFERENCE_QUIRKS``) — required for
+    apples-to-apples mIoU against reference-produced artifacts; the default
+    emits the self-consistent mapping."""
     mapping, names, colors = _merged_tables(REPLICA_CLASSES, REPLICA_MERGE)
+    if strict_reference:
+        mapping = {**mapping, **_REPLICA_REFERENCE_QUIRKS}
     return ClassColorMap(mapping, names, colors)
 
 
@@ -168,11 +185,13 @@ def scannet_map() -> ClassColorMap:
     return ClassColorMap(mapping, names, colors)
 
 
-def for_dataset(name: str) -> ClassColorMap:
-    """Shipped class color map by dataset name ('replica' | 'scannet')."""
+def for_dataset(name: str, strict_reference: bool = False) -> ClassColorMap:
+    """Shipped class color map by dataset name ('replica' | 'scannet').
+    ``strict_reference`` reproduces the reference numbering exactly,
+    including its verified quirks (see ``replica_map``)."""
     key = name.lower()
     if key.startswith("replica"):
-        return replica_map()
+        return replica_map(strict_reference=strict_reference)
     if key.startswith("scannet"):
         return scannet_map()
     raise KeyError(f"no shipped class table for dataset {name!r}")
@@ -190,10 +209,10 @@ def class_names(name: str) -> list[str]:
     raise KeyError(f"no shipped class list for dataset {name!r}")
 
 
-def write_yaml(name: str, path: str) -> None:
+def write_yaml(name: str, path: str, strict_reference: bool = False) -> None:
     """Emit the reference YAML schema (mapping / mapped_class /
     mapped_colors, replica_color.yaml layout) for external tooling."""
-    m = for_dataset(name)
+    m = for_dataset(name, strict_reference=strict_reference)
 
     def block(title, d, fmt):
         lines = [f"{title}:"]
@@ -223,8 +242,13 @@ def _main(argv=None):
     )
     ap.add_argument("dataset", choices=["replica", "scannet"])
     ap.add_argument("out")
+    ap.add_argument(
+        "--strict-reference", action="store_true",
+        help="reproduce the reference numbering exactly, including its "
+             "verified inconsistencies (Replica raw 83 -> 42)",
+    )
     args = ap.parse_args(argv)
-    write_yaml(args.dataset, args.out)
+    write_yaml(args.dataset, args.out, strict_reference=args.strict_reference)
     print(f"wrote {args.dataset} class table to {args.out}")
 
 

@@ -87,6 +87,38 @@ class TestShippedClassTables:
         assert m.name_of(40) == "floor"
         assert m.name_of(31) == "ceiling"
 
+    def test_replica_strict_reference_mode(self):
+        """strict_reference=True reproduces the reference's numbering
+        bit-for-bit INCLUDING its verified self-inconsistency: raw 83
+        (tissue-paper) -> 42 ('appliance', replica_color.yaml:85 vs its
+        own comment). Default mode emits the self-consistent 50."""
+        from openobj_tpu.viz import class_tables as ct
+
+        default = ct.for_dataset("replica")
+        strict = ct.for_dataset("replica", strict_reference=True)
+        assert default.mapping[83] == 50 and default.names[50] == "tissue-paper"
+        assert strict.mapping[83] == 42 and strict.names[42] == "appliance"
+        # the quirk is the ONLY divergence between the modes
+        diffs = {
+            r for r in default.mapping
+            if default.mapping[r] != strict.mapping[r]
+        }
+        assert diffs == {83}
+        assert strict.names == default.names
+        # both modes agree with the shipped YAML numbering everywhere else
+        import os
+
+        import openobj_tpu
+        from openobj_tpu.viz import colors as C
+
+        shipped = C.ClassColorMap.from_yaml(
+            os.path.join(os.path.dirname(openobj_tpu.__file__),
+                         "configs", "colors", "replica_classes.yaml")
+        )
+        for raw, merged in shipped.mapping.items():
+            if raw != 83:
+                assert strict.mapping[raw] == merged
+
     def test_scannet_nyu40(self):
         from openobj_tpu.viz import class_tables as ct
 
