@@ -90,6 +90,60 @@ def evaluate_instance_maps(pred_maps: list[np.ndarray],
     return {"inst_miou": miou, "per_instance_iou": per}
 
 
+def matched_instance_miou(pred_maps, gt_maps, pred_bg=(0, 1, 2, 3, 999),
+                          gt_bg=(0, 1, 2, 3)):
+    """Instance agreement when the two id SPACES differ (e.g. association
+    output vs held-aside GT): sequence-level IoU matrix between every
+    non-background pred id and gt id, optimal one-to-one matching
+    (Hungarian, maximizing total IoU), unmatched GT instances score 0.
+    Also reports background IoU (pred background ids vs gt background).
+
+    Returns {inst_miou, per_gt_iou: {gt_id: iou}, matches: {gt_id:
+    pred_id|None}, bg_iou, n_pred_instances}."""
+    from scipy.optimize import linear_sum_assignment
+
+    pred_ids = sorted(
+        {int(i) for p in pred_maps for i in np.unique(p)} - set(pred_bg)
+    )
+    gt_ids = sorted(
+        {int(i) for g in gt_maps for i in np.unique(g)} - set(gt_bg)
+    )
+    inter = np.zeros((len(gt_ids), len(pred_ids)))
+    area_g = np.zeros(len(gt_ids))
+    area_p = np.zeros(len(pred_ids))
+    bg_i = bg_u = 0.0
+    for p, g in zip(pred_maps, gt_maps):
+        pb = np.isin(p, pred_bg)
+        gb = np.isin(g, gt_bg)
+        bg_i += float((pb & gb).sum())
+        bg_u += float((pb | gb).sum())
+        for a, gi in enumerate(gt_ids):
+            gm = g == gi
+            area_g[a] += float(gm.sum())
+            for b, pi in enumerate(pred_ids):
+                inter[a, b] += float((gm & (p == pi)).sum())
+        for b, pi in enumerate(pred_ids):
+            area_p[b] += float((p == pi).sum())
+    union = area_g[:, None] + area_p[None, :] - inter
+    iou = np.where(union > 0, inter / np.maximum(union, 1.0), 0.0)
+    matches: dict[int, int | None] = {gi: None for gi in gt_ids}
+    per: dict[int, float] = {gi: 0.0 for gi in gt_ids}
+    if iou.size:
+        rows, cols = linear_sum_assignment(-iou)
+        for a, b in zip(rows, cols):
+            if iou[a, b] > 0:
+                matches[gt_ids[a]] = pred_ids[b]
+                per[gt_ids[a]] = float(iou[a, b])
+    miou = float(np.mean(list(per.values()))) if per else 0.0
+    return {
+        "inst_miou": miou,
+        "per_gt_iou": per,
+        "matches": matches,
+        "bg_iou": bg_i / max(bg_u, 1.0),
+        "n_pred_instances": len(pred_ids),
+    }
+
+
 def evaluate_renders(pred_rgbs, gt_rgbs, pred_depths=None, gt_depths=None,
                      masks=None):
     """Aggregate PSNR (and depth L1) over a set of rendered frames."""

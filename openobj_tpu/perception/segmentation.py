@@ -109,6 +109,77 @@ def _union_find_segment(n_px: int, edges_a, edges_b, weights, k: float,
     return np.asarray([find(i) for i in range(n_px)], dtype=np.int64)
 
 
+def _rag_merge(labels: np.ndarray, ea, eb, cd, dd, theta_color: float,
+               theta_depth: float, max_iters: int = 4) -> np.ndarray:
+    """Region-adjacency merge pass: fuse neighboring components whose
+    shared boundary has MEDIAN color distance < ``theta_color`` AND
+    MEDIAN depth discontinuity < ``theta_depth`` (each cue judged
+    separately, NOT on the blended union-find weight).
+
+    Felzenszwalb's criterion is size-adaptive (MInt shrinks as k/|C|), so
+    large smooth components stop merging long before their boundaries are
+    object-like: a close-up sphere peels into limb bands, a wall into
+    corner patches — measured on the sphere fixture, the spurious internal
+    boundaries have median weight 0.01-0.10 while true object boundaries
+    sit at ~0.8. The cues must be tested SEPARATELY because two touching
+    objects (a sphere resting against a torus, boxes in contact) have a
+    depth-smooth seam whose blended weight (0.3·cd) can dip under any
+    single threshold that still re-fuses same-surface fragments — the
+    color median keeps them apart while the depth median re-fuses limb
+    bands. The median over the WHOLE shared boundary is robust to the
+    handful of high-weight edges at a limb, while an object resting on a
+    support keeps its identity because most of its outline is a depth
+    step (only the contact band is smooth). Iterated to fixpoint: merging
+    two fragments pools their boundaries for the next round."""
+    labels = labels.copy()
+    for _ in range(max_iters):
+        la, lb = labels[ea], labels[eb]
+        m = la != lb
+        if not m.any():
+            break
+        base = np.int64(labels.max()) + 1
+        a = np.minimum(la[m], lb[m]).astype(np.int64)
+        b = np.maximum(la[m], lb[m]).astype(np.int64)
+        key = a * base + b
+        order = np.argsort(key, kind="stable")
+        key_s = key[order]
+        cd_s, dd_s = cd[m][order], dd[m][order]
+        uniq, starts = np.unique(key_s, return_index=True)
+        ends = np.append(starts[1:], len(key_s))
+        merged = False
+        parent: dict[int, int] = {}
+
+        def find(x):
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
+
+        for kk, s, e in zip(uniq, starts, ends):
+            if (float(np.median(cd_s[s:e])) < theta_color
+                    and float(np.median(dd_s[s:e])) < theta_depth):
+                pa, pb = find(int(kk // base)), find(int(kk % base))
+                if pa != pb:
+                    parent[pb] = pa
+                    merged = True
+        if not merged:
+            break
+        lut = {r: find(r) for r in np.unique(labels).tolist()}
+        labels = np.vectorize(lambda x: lut.get(x, x))(labels)
+    return labels
+
+
+def _box_mean(img: np.ndarray, r: int) -> np.ndarray:
+    """Mean over (2r+1)² windows (edge-replicated), via an integral image."""
+    size = 2 * r + 1
+    p = np.pad(img, ((r, r), (r, r), (0, 0)), mode="edge").astype(np.float64)
+    s = np.zeros((p.shape[0] + 1, p.shape[1] + 1, img.shape[2]))
+    s[1:, 1:] = p.cumsum(0).cumsum(1)
+    tot = (s[size:, size:] - s[:-size, size:]
+           - s[size:, :-size] + s[:-size, :-size])
+    return tot / float(size * size)
+
+
 def felzenszwalb_rgbd(
     rgb: np.ndarray,
     depth: np.ndarray | None = None,
@@ -117,6 +188,11 @@ def felzenszwalb_rgbd(
     depth_weight: float = 0.7,
     rel_depth: float = 0.08,
     slope_tol: float = 3.0,
+    merge_color: float = 0.12,
+    merge_depth: float = 0.30,
+    texture_window: int = 2,
+    texture_grad: float = 0.10,
+    texture_frac: float = 0.25,
 ) -> np.ndarray:
     """Segment one (sub-sampled) RGB-D frame -> int label image [H, W].
 
@@ -125,9 +201,44 @@ def felzenszwalb_rgbd(
     per-pixel slope is treated as the same surface (admits the hyperbolic
     curvature of a plane under perspective at any grazing angle, which a
     fixed relative tolerance cannot — the per-pixel slope scales with
-    1/image-width, so small frames and steep surfaces would fragment)."""
+    1/image-width, so small frames and steep surfaces would fragment).
+
+    ``texture_window`` > 0 makes the color cue texture-robust: where BOTH
+    sides of an edge are locally textured (per-window color std above
+    ``texture_std``), the edge color distance is min(raw pixel distance,
+    distance between the two sides' SHIFTED local-mean colors) — for the
+    edge (a, b) the windows are re-centered ``w`` pixels AWAY from the
+    edge, so each (2w+1)² window lies (mostly) on its own side. A
+    high-frequency pattern (stripes, checker, speckle) has large raw
+    distances at every internal band boundary but near-identical side
+    means — each side's window averages over the same pattern mix — so
+    texture edges score ~0. The GATE is what keeps small solid objects
+    alive: without it, the shifted windows of two adjacent tiny
+    solid-colored objects (a 10 px torus beside a 10 px sphere) overshoot
+    their own object and the min() erases exactly the seam that separates
+    them. The gate statistic is the strong-edge FRACTION (share of window
+    pixels whose own raw gradient exceeds ``texture_grad``), not local
+    color variance: a clean boundary raises the variance of every window
+    it crosses — boundary-induced variance is indistinguishable from
+    texture — but it contributes only its thin outline to the edge count
+    (~2·(2w+1) of (2w+1)² pixels ≈ 12%% at w=2), while genuine texture
+    has strong interior edges every few pixels (> 25%%). Only edges whose
+    BOTH side windows exceed ``texture_frac`` use the mean-based
+    distance. ``merge_color``/``merge_depth`` gate the region-adjacency
+    merge pass (_rag_merge); <= 0 disables it."""
     h, w = rgb.shape[:2]
     col = np.asarray(rgb, np.float64) / 255.0
+    col_m = tex_frac = None
+    if texture_window > 0:
+        col_m = _box_mean(col, texture_window)
+        # strong-edge indicator per pixel: its right or down raw gradient
+        # exceeds texture_grad
+        gh = np.sqrt(((col[:, 1:] - col[:, :-1]) ** 2).sum(-1) / 3.0)
+        gv = np.sqrt(((col[1:, :] - col[:-1, :]) ** 2).sum(-1) / 3.0)
+        strong = np.zeros((h, w))
+        strong[:, :-1] = np.maximum(strong[:, :-1], gh > texture_grad)
+        strong[:-1, :] = np.maximum(strong[:-1, :], gv > texture_grad)
+        tex_frac = _box_mean(strong[..., None], texture_window)[..., 0]
     idx = np.arange(h * w).reshape(h, w)
 
     def _depth_jump(z: np.ndarray):
@@ -176,34 +287,83 @@ def felzenszwalb_rgbd(
     else:
         jump_h = nb_h = jump_v = nb_v = None
 
-    def edge_set(sl_a, sl_b, jump, nb_slope):
+    def edge_set(sl_a, sl_b, jump, nb_slope, axis):
         a = idx[sl_a].reshape(-1)
         b = idx[sl_b].reshape(-1)
-        cd = np.sqrt(
+        cd_raw = np.sqrt(
             ((col[sl_a] - col[sl_b]) ** 2).sum(-1).reshape(-1) / 3.0
         )
+        # texture-robust color term for the UNION-FIND weight only. The
+        # RAG merge judges RAW color: fragments it re-fuses come from the
+        # size-adaptive criterion (limb bands, wall patches — same surface
+        # color, raw cd ~ 0), never from texture (texture edges are ~0
+        # here, so textured regions don't fragment in the first place)
+        cd = cd_raw
+        if col_m is not None:
+            # Gate centers a full window DIAMETER into each side (not
+            # just the radius): a genuine texture extends — it is still
+            # edge-dense 2r+1 px from any internal band boundary — while
+            # around the seam between two adjacent small solid objects the
+            # deep probes land on smooth surface (their own solid
+            # interiors or the support) and read ~0, so the gate shuts
+            # and the seam keeps its raw contrast. At the radius, every
+            # window still touches the edge and a small object's own
+            # OUTLINE saturates the statistic (measured: seam windows
+            # 0.20-0.44 vs texture interiors 0.20-0.36 — inseparable;
+            # at the diameter the seam sides read ~0 and textures keep
+            # >= 0.3). Known cost: texture band edges within 2r+1 px of
+            # the object silhouette lose the guard (the outer probe exits
+            # the object) and may fragment — the association's 3D-overlap
+            # cue re-groups those rim fragments downstream; variants that
+            # kept the guard alive at the rim (radius-only min, radius-min
+            # AND diameter-max) measurably re-merged adjacent small
+            # objects end-to-end, which no downstream stage can undo.
+            r = 2 * texture_window + 1
+            n = col.shape[axis]
+            lo = np.maximum(np.arange(n - 1) - r, 0)          # side-a centers
+            hi = np.minimum(np.arange(1, n) + r, n - 1)       # side-b centers
+            ma = col_m[:, lo] if axis == 1 else col_m[lo, :]
+            mb = col_m[:, hi] if axis == 1 else col_m[hi, :]
+            fa = tex_frac[:, lo] if axis == 1 else tex_frac[lo, :]
+            fb = tex_frac[:, hi] if axis == 1 else tex_frac[hi, :]
+            textured = (np.minimum(fa, fb) > texture_frac).reshape(-1)
+            mean_d = np.sqrt(((ma - mb) ** 2).sum(-1).reshape(-1) / 3.0)
+            cd = np.where(textured, np.minimum(cd, mean_d), cd)
         if zmap is not None:
             za = zmap[sl_a].reshape(-1)
             zb = zmap[sl_b].reshape(-1)
             valid = (za > 0) & (zb > 0)
             tol = np.maximum(rel_depth * np.minimum(za, zb),
                              slope_tol * nb_slope.reshape(-1))
-            dd = np.minimum(jump.reshape(-1) / np.maximum(tol, 1e-6), 1.0)
-            wgt = np.where(valid,
-                           (1 - depth_weight) * cd + depth_weight * dd, cd)
+            dd = np.where(valid, np.minimum(
+                jump.reshape(-1) / np.maximum(tol, 1e-6), 1.0), 0.0)
+            # max, not a convex blend: either cue alone asserts a
+            # boundary. A convex blend buries the color seam between two
+            # TOUCHING objects (depth-smooth contact => w = 0.3*cd, under
+            # early-stage k/|C|) — with the local-mean texture guard on cd
+            # the raw-color veto is safe to restore to full strength
+            wgt = np.where(valid, np.maximum(cd, depth_weight * dd), cd)
         else:
+            dd = np.zeros_like(cd)
             wgt = cd
-        return a, b, wgt
+        return a, b, wgt, cd_raw, dd
 
-    ar, br, wr = edge_set(np.s_[:, :-1], np.s_[:, 1:], jump_h, nb_h)  # right
-    ad, bd, wd = edge_set(np.s_[:-1, :], np.s_[1:, :], jump_v, nb_v)  # down
+    ar, br, wr, cr, dr = edge_set(
+        np.s_[:, :-1], np.s_[:, 1:], jump_h, nb_h, axis=1)
+    ad, bd, wd, cdn, ddn = edge_set(
+        np.s_[:-1, :], np.s_[1:, :], jump_v, nb_v, axis=0)
     ea = np.concatenate([ar, ad])
     eb = np.concatenate([br, bd])
     ws = np.concatenate([wr, wd])
+    cds = np.concatenate([cr, cdn])
+    dds = np.concatenate([dr, ddn])
     order = np.argsort(ws, kind="stable")
     labels = _union_find_segment(
         h * w, ea[order], eb[order], ws[order], k, min_size
     )
+    if merge_color > 0 and merge_depth > 0:
+        labels = _rag_merge(labels, ea, eb, cds, dds, merge_color,
+                            merge_depth)
     return labels.reshape(h, w)
 
 
@@ -223,7 +383,9 @@ class GraphSegmenter:
     def __init__(self, k: float = 3.0, min_size: int = 64,
                  depth_weight: float = 0.7, rel_depth: float = 0.08,
                  stride: int = 2, max_masks: int = 64,
-                 slope_tol: float = 3.0):
+                 slope_tol: float = 3.0, merge_color: float = 0.12,
+                 merge_depth: float = 0.30, texture_window: int = 2,
+                 texture_grad: float = 0.10, texture_frac: float = 0.25):
         self.k = k
         self.min_size = min_size
         self.depth_weight = depth_weight
@@ -231,6 +393,11 @@ class GraphSegmenter:
         self.stride = stride
         self.max_masks = max_masks
         self.slope_tol = slope_tol
+        self.merge_color = merge_color
+        self.merge_depth = merge_depth
+        self.texture_window = texture_window
+        self.texture_grad = texture_grad
+        self.texture_frac = texture_frac
 
     def __call__(self, rgb: np.ndarray, depth: np.ndarray | None = None):
         h, w = rgb.shape[:2]
@@ -240,6 +407,8 @@ class GraphSegmenter:
         labels = felzenszwalb_rgbd(
             rgb_s, depth_s, self.k, self.min_size,
             self.depth_weight, self.rel_depth, self.slope_tol,
+            self.merge_color, self.merge_depth, self.texture_window,
+            self.texture_grad, self.texture_frac,
         )
         if s > 1:   # nearest-neighbor upsample back to [H, W]
             labels = labels.repeat(s, 0)[:h].repeat(s, 1)[:, :w]

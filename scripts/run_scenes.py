@@ -36,66 +36,13 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 def run_perception(cfg_path: str, args) -> None:
     """Generate the training artifacts from raw posed RGB-D with the
-    perception-stage CLIs (openobj-maskgen/-associate/-partfeat) — the
-    reference's pre-training programs. Intrinsics/stride/depth-scale come
-    from the scene's training config so the stages and the trainer agree."""
+    weights-free perception stages (perception.auto — the reference's
+    pre-training programs, every pixel-count knob scaled from the scene's
+    camera config)."""
     from openobj_tpu.config import load_scene_config
-    from openobj_tpu.perception import cli as pcli
+    from openobj_tpu.perception.auto import run_auto_perception
 
-    cfg = load_scene_config(cfg_path)
-    root, cam = cfg.dataset_dir, cfg.camera
-    common = [root, "--format", cfg.dataset_format,
-              "--depth-scale", str(cfg.depth_scale),
-              "--max-depth", str(cfg.max_depth)]
-    # pixel-count-scaled knobs: the reference's fixed values (min 100 px
-    # masks, DBSCAN min 100 points) assume 680x1200 frames; scale them so
-    # the same entry point works on small scenes/fixtures
-    npx = cam.height * cam.width
-    min_px = max(30, npx // 8000)
-    seg_min = max(48, npx // 12000)
-    # subsample stride 2 is for full-res frames; at fixture scale a
-    # min-size object (~100 px) would shrink below seg_min and be absorbed
-    seg_stride = 2 if min(cam.height, cam.width) >= 200 else 1
-    # CLIP crop padding: the reference's 20 px assumes 1200-wide frames;
-    # a fixed 20 at 64x48 makes every crop ~ the whole frame and
-    # saturates the clip similarity cue
-    crop_pad = max(2, min(20, int(round(20 * cam.width / 1200.0))))
-    # DBSCAN eps tracks the pixel footprint at mid-range depth (~2*z/fx)
-    eps = max(0.05, cfg.max_depth / float(cam.fx))
-    pcli.maskgen_main(common + [
-        "--skip", "10", "--min-px", str(min_px),
-        "--seg-min-size", str(seg_min),
-        "--seg-stride", str(seg_stride),
-        "--crop-pad", str(crop_pad),
-    ])
-    import yaml
-
-    ycfg = dict(
-        skip=10, graph_method="weighted",
-        depth_scale=1.0 / cfg.depth_scale,
-        fx=float(cam.fx), fy=float(cam.fy),
-        cx=float(cam.cx), cy=float(cam.cy),
-    )
-    ypath = os.path.join(root, "assoc_generated.yaml")
-    with open(ypath, "w") as f:
-        yaml.safe_dump(ycfg, f)
-    pcli.associate_main([
-        root, "--config", ypath, "--format", cfg.dataset_format,
-        "--max-depth", str(cfg.max_depth),
-        "--min-component-px", str(min_px),
-        "--dbscan-min-points", str(max(10, npx // 8000)),
-        "--dbscan-eps", str(eps),
-        # weights-free captions carry no wall/floor semantics; anchor the
-        # background geometrically (boundary-shell clusters -> ids 1/2/3)
-        "--geo-bg",
-    ])
-    if cfg.train.part_mode:
-        pcli.partfeat_main(common + [
-            "--skip", "10", "--down", str(cfg.train.part_down),
-            "--clip-dim", str(cfg.train.clip_size),
-            "--seg-min-size", str(max(8, seg_min // 2)),
-            "--seg-stride", str(seg_stride),
-        ])
+    run_auto_perception(load_scene_config(cfg_path))
 
 
 def run_one_scene(cfg_path: str, scene: str, args) -> dict:

@@ -1,0 +1,166 @@
+"""Perception stress-matrix machinery: archetype scenes, the matched
+instance-mIoU scorer, the sequence-scaled keyframe stride, and the
+segmenter's texture guard (gate + shifted-window min).
+
+The full 6-archetype matrix (scripts/perception_matrix.py) is a ~10-min
+CPU run whose tracked numbers live in BASELINE.md; these tests pin the
+pieces it is built from at unit scale.
+"""
+
+import numpy as np
+import pytest
+
+from openobj_tpu.data import synthetic
+from openobj_tpu.eval import matched_instance_miou
+from openobj_tpu.perception.auto import keyframe_skip
+from openobj_tpu.perception.segmentation import felzenszwalb_rgbd
+
+
+class TestArchetypes:
+    def test_every_archetype_renders_with_gt_ids(self):
+        from openobj_tpu.ops import sampling
+
+        w, h = 48, 36
+        dirs = np.asarray(
+            sampling.camera_ray_dirs(w, h, 0.65 * w, 0.65 * w, w / 2, h / 2)
+        )
+        for name in synthetic.ARCHETYPES:
+            scene, orbit = synthetic.archetype_scene(name)
+            pose = synthetic.orbit_pose(0.7, **orbit)
+            rgb, depth, inst = scene.render(pose, dirs)
+            assert rgb.shape == (h, w, 3) and rgb.dtype == np.uint8
+            assert depth.shape == (h, w) and (depth > 0).all()
+            ids = set(np.unique(inst).tolist())
+            assert 0 in ids, name                    # background visible
+            # foreground ids are the scene's declared instances
+            fg = ids - {0}
+            declared = {o.inst_id for o in scene.all_objects}
+            assert fg <= declared, (name, fg, declared)
+
+    def test_nonconvex_l_shape_one_instance(self):
+        scene, _ = synthetic.archetype_scene("nonconvex")
+        ids = [o.inst_id for o in scene.objects]
+        assert ids.count(5) == 2  # two boxes, one instance id
+
+    def test_unknown_archetype_raises(self):
+        with pytest.raises(KeyError):
+            synthetic.archetype_scene("nope")
+
+
+class TestMatchedInstanceMiou:
+    def test_perfect_match_different_id_spaces(self):
+        gt = np.zeros((8, 8), np.int32)
+        gt[2:5, 2:5] = 4
+        gt[5:7, 5:7] = 5
+        pred = np.zeros_like(gt)
+        pred[gt == 4] = 17
+        pred[gt == 5] = 23
+        s = matched_instance_miou([pred], [gt])
+        assert s["inst_miou"] == pytest.approx(1.0)
+        assert s["matches"] == {4: 17, 5: 23}
+        assert s["bg_iou"] == pytest.approx(1.0)
+
+    def test_unmatched_gt_scores_zero(self):
+        gt = np.zeros((8, 8), np.int32)
+        gt[1:4, 1:4] = 4
+        gt[5:8, 5:8] = 5
+        pred = np.zeros_like(gt)
+        pred[1:4, 1:4] = 9          # only one object found
+        s = matched_instance_miou([pred], [gt])
+        assert s["per_gt_iou"][4] == pytest.approx(1.0)
+        assert s["per_gt_iou"][5] == 0.0
+        assert s["matches"][5] is None
+        assert s["inst_miou"] == pytest.approx(0.5)
+
+    def test_one_to_one_matching_is_optimal(self):
+        # one pred blob overlapping both GT blobs must be assigned to at
+        # most ONE of them (Hungarian), not double-counted
+        gt = np.zeros((4, 10), np.int32)
+        gt[:, 0:4] = 4
+        gt[:, 4:8] = 5
+        pred = np.zeros_like(gt)
+        pred[:, 0:8] = 7
+        s = matched_instance_miou([pred], [gt])
+        matched = [g for g, p in s["matches"].items() if p == 7]
+        assert len(matched) == 1
+
+    def test_sequence_level_consistency_rewarded(self):
+        # an id that stays stable across frames beats per-frame relabeling
+        gt = np.zeros((6, 6), np.int32)
+        gt[2:5, 2:5] = 4
+        pred_stable = [np.where(gt == 4, 9, 0) for _ in range(3)]
+        pred_flaky = [np.where(gt == 4, 9 + i, 0) for i in range(3)]
+        s_stable = matched_instance_miou(pred_stable, [gt] * 3)
+        s_flaky = matched_instance_miou(pred_flaky, [gt] * 3)
+        assert s_stable["inst_miou"] == pytest.approx(1.0)
+        assert s_flaky["inst_miou"] < 0.5
+
+    def test_junk_id_is_background(self):
+        gt = np.zeros((6, 6), np.int32)
+        pred = np.zeros_like(gt)
+        pred[0, 0] = 999            # junk id must not count as an instance
+        s = matched_instance_miou([pred], [gt])
+        assert s["n_pred_instances"] == 0
+
+
+class TestKeyframeSkip:
+    def test_reference_regime_keeps_skip_10(self):
+        assert keyframe_skip(2000) == 10
+
+    def test_short_fixture_targets_10_keyframes(self):
+        assert keyframe_skip(40) == 4
+        assert keyframe_skip(100) == 10
+
+    def test_tiny_sequence_never_zero(self):
+        assert keyframe_skip(3) == 1
+        assert keyframe_skip(0) == 1
+
+
+class TestTextureGuard:
+    """The union-find color cue: raw contrast between small solid objects
+    must survive; fine repeating texture must not fragment."""
+
+    def _two_solid_boxes(self):
+        # two adjacent solid-colored rectangles on a flat background,
+        # constant depth (no depth cue at the seam)
+        rgb = np.full((40, 60, 3), 150, np.uint8)
+        rgb[14:26, 14:28] = (220, 40, 40)      # red
+        rgb[14:26, 28:42] = (230, 200, 40)     # yellow, touching red
+        depth = np.full((40, 60), 2.0)
+        return rgb, depth
+
+    def test_adjacent_solid_objects_stay_separate(self):
+        rgb, depth = self._two_solid_boxes()
+        lab = felzenszwalb_rgbd(rgb, depth, min_size=16)
+        red = np.unique(lab[16:24, 16:26])
+        yel = np.unique(lab[16:24, 30:40])
+        assert len(red) == 1 and len(yel) == 1
+        assert red[0] != yel[0]
+
+    def test_fine_stripes_stay_one_segment(self):
+        # 2-px alternating bands across a 24-px-wide object: without the
+        # texture guard every band boundary is a strong color edge
+        rgb = np.full((40, 60, 3), 150, np.uint8)
+        for i, r in enumerate(range(10, 30)):
+            c = (220, 40, 40) if (i // 2) % 2 == 0 else (230, 200, 40)
+            rgb[r, 18:42] = c
+        depth = np.full((40, 60), 2.0)
+        lab = felzenszwalb_rgbd(rgb, depth, min_size=16)
+        interior = lab[16:24, 24:36]
+        ids, counts = np.unique(interior, return_counts=True)
+        # dominant label covers the striped interior (rim rows may split:
+        # the guard deliberately releases within a window-diameter of the
+        # silhouette — see segmentation.py gate comment)
+        assert counts.max() / interior.size > 0.8
+
+    def test_guard_disabled_reverts_to_raw(self):
+        rgb = np.full((40, 60, 3), 150, np.uint8)
+        for i, r in enumerate(range(10, 30)):
+            c = (220, 40, 40) if (i // 2) % 2 == 0 else (230, 200, 40)
+            rgb[r, 18:42] = c
+        depth = np.full((40, 60), 2.0)
+        lab_off = felzenszwalb_rgbd(rgb, depth, min_size=16,
+                                    texture_window=0)
+        interior = lab_off[14:26, 24:36]
+        # raw color fragments the stripes into multiple bands
+        assert len(np.unique(interior)) > 2
