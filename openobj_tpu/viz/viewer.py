@@ -43,6 +43,7 @@ import numpy as np
 
 from openobj_tpu.viz import colors as C
 from openobj_tpu.viz import query as Q
+from openobj_tpu.viz import viewer_math
 from openobj_tpu.viz.export import load_map_bundle
 
 
@@ -252,31 +253,7 @@ if (!gl.getProgramParameter(prog, gl.LINK_STATUS))
 const uMvp = gl.getUniformLocation(prog, 'mvp');
 const uFlat = gl.getUniformLocation(prog, 'flatMode');
 
-// ---- tiny mat4 helpers (column-major) ----
-function perspective(fovy, aspect, near, far){
-  const f = 1/Math.tan(fovy/2), nf = 1/(near-far);
-  return [f/aspect,0,0,0, 0,f,0,0, 0,0,(far+near)*nf,-1, 0,0,2*far*near*nf,0];
-}
-function lookAt(eye, c, up){
-  let zx=eye[0]-c[0], zy=eye[1]-c[1], zz=eye[2]-c[2];
-  let zl=Math.hypot(zx,zy,zz); zx/=zl; zy/=zl; zz/=zl;
-  let xx=up[1]*zz-up[2]*zy, xy=up[2]*zx-up[0]*zz, xz=up[0]*zy-up[1]*zx;
-  let xl=Math.hypot(xx,xy,xz)||1; xx/=xl; xy/=xl; xz/=xl;
-  const yx=zy*xz-zz*xy, yy=zz*xx-zx*xz, yz=zx*xy-zy*xx;
-  return [xx,yx,zx,0, xy,yy,zy,0, xz,yz,zz,0,
-          -(xx*eye[0]+xy*eye[1]+xz*eye[2]),
-          -(yx*eye[0]+yy*eye[1]+yz*eye[2]),
-          -(zx*eye[0]+zy*eye[1]+zz*eye[2]), 1];
-}
-function mul(a, b){
-  const o = new Array(16);
-  for (let c=0;c<4;c++) for (let r=0;r<4;r++){
-    o[c*4+r]=0;
-    for (let k=0;k<4;k++) o[c*4+r]+=a[k*4+r]*b[c*4+k];
-  }
-  return o;
-}
-
+__JS_MAT4__
 // ---- build per-object buffers ----
 const meshes = {};
 let lo=[1e9,1e9,1e9], hi=[-1e9,-1e9,-1e9];
@@ -385,10 +362,7 @@ function draw(){
   const w = innerWidth, h = innerHeight;
   if (canvas.width !== w || canvas.height !== h){ canvas.width=w; canvas.height=h; gl.viewport(0,0,w,h); }
   gl.clearColor(0.063,0.063,0.078,1); gl.clear(gl.COLOR_BUFFER_BIT|gl.DEPTH_BUFFER_BIT);
-  const eye = [
-    target[0] + radius*Math.cos(pitch)*Math.sin(yaw),
-    target[1] + radius*Math.sin(pitch),
-    target[2] + radius*Math.cos(pitch)*Math.cos(yaw)];
+__JS_ORBIT_EYE__
   const mvp = mul(perspective(1.05, w/h, 0.01*diag, 100*diag), lookAt(eye, target, [0,1,0]));
   gl.useProgram(prog);
   gl.uniformMatrix4fv(uMvp, false, new Float32Array(mvp));
@@ -405,6 +379,15 @@ setMode(DATA.initial);
 requestAnimationFrame(draw);
 """
 
+# The mat4/orbit math is NOT inlined above: it is spliced from
+# viz.viewer_math — the single blessed source whose Python twins are
+# golden-tested against numpy (no JS engine exists here to execute the
+# emitted script; see viewer_math docstring for the verification chain).
+_MAIN_JS = (
+    _MAIN_JS
+    .replace("__JS_MAT4__", viewer_math.JS_MAT4)
+    .replace("__JS_ORBIT_EYE__", viewer_math.JS_ORBIT_EYE)
+)
 
 
 # substituted into _HTML's {live_js} field (plain value — not re-formatted,
