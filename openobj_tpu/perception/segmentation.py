@@ -109,12 +109,14 @@ def _union_find_segment(n_px: int, edges_a, edges_b, weights, k: float,
     return np.asarray([find(i) for i in range(n_px)], dtype=np.int64)
 
 
-def _rag_merge(labels: np.ndarray, ea, eb, cd, dd, theta_color: float,
-               theta_depth: float, max_iters: int = 4) -> np.ndarray:
+def _rag_merge(labels: np.ndarray, ea, eb, cd, dd, col_flat: np.ndarray,
+               theta_color: float, theta_depth: float,
+               max_iters: int = 4) -> np.ndarray:
     """Region-adjacency merge pass: fuse neighboring components whose
     shared boundary has MEDIAN color distance < ``theta_color`` AND
-    MEDIAN depth discontinuity < ``theta_depth`` (each cue judged
-    separately, NOT on the blended union-find weight).
+    MEDIAN depth discontinuity < ``theta_depth`` AND whose region MEAN
+    colors differ by < ``theta_color`` (each cue judged separately, NOT
+    on the blended union-find weight).
 
     Felzenszwalb's criterion is size-adaptive (MInt shrinks as k/|C|), so
     large smooth components stop merging long before their boundaries are
@@ -129,14 +131,34 @@ def _rag_merge(labels: np.ndarray, ea, eb, cd, dd, theta_color: float,
     bands. The median over the WHOLE shared boundary is robust to the
     handful of high-weight edges at a limb, while an object resting on a
     support keeps its identity because most of its outline is a depth
-    step (only the contact band is smooth). Iterated to fixpoint: merging
-    two fragments pools their boundaries for the next round."""
+    step (only the contact band is smooth).
+
+    The region-MEAN test exists for MIXED SLIVERS: min-size absorption
+    can weld a few cut-off pixels of object A onto a fragment of
+    touching object B (A-side rim edges are depth-expensive, the A|B
+    contact edge is the cheapest boundary left), producing a two-color
+    sliver whose boundary to EACH parent object is internally solid —
+    boundary medians read 0.0 both ways and the sliver bridges two
+    distinct objects into one region (measured: a 21 px green+blue
+    sliver fusing a tangent sphere into the box it rests on). The
+    sliver's mean color is far from both pure parents, so the mean test
+    kills exactly the bridge while same-surface fragments (identical
+    means) and shading-varied real surfaces (means average out) pass.
+    Iterated to fixpoint: merging two fragments pools their boundaries
+    and size-weights their means for the next round."""
     labels = labels.copy()
     for _ in range(max_iters):
         la, lb = labels[ea], labels[eb]
         m = la != lb
         if not m.any():
             break
+        ids, inv = np.unique(labels, return_inverse=True)
+        nreg = len(ids)
+        sums = np.zeros((nreg, 3))
+        np.add.at(sums, inv, col_flat)
+        cnts = np.bincount(inv, minlength=nreg).astype(np.float64)
+        means = sums / cnts[:, None]
+        pos = {int(v): i for i, v in enumerate(ids)}
         base = np.int64(labels.max()) + 1
         a = np.minimum(la[m], lb[m]).astype(np.int64)
         b = np.maximum(la[m], lb[m]).astype(np.int64)
@@ -156,9 +178,14 @@ def _rag_merge(labels: np.ndarray, ea, eb, cd, dd, theta_color: float,
             return x
 
         for kk, s, e in zip(uniq, starts, ends):
-            if (float(np.median(cd_s[s:e])) < theta_color
+            ia, ib = int(kk // base), int(kk % base)
+            mean_d = float(np.sqrt(
+                ((means[pos[ia]] - means[pos[ib]]) ** 2).mean()
+            ))
+            if (mean_d < theta_color
+                    and float(np.median(cd_s[s:e])) < theta_color
                     and float(np.median(dd_s[s:e])) < theta_depth):
-                pa, pb = find(int(kk // base)), find(int(kk % base))
+                pa, pb = find(ia), find(ib)
                 if pa != pb:
                     parent[pb] = pa
                     merged = True
@@ -362,8 +389,8 @@ def felzenszwalb_rgbd(
         h * w, ea[order], eb[order], ws[order], k, min_size
     )
     if merge_color > 0 and merge_depth > 0:
-        labels = _rag_merge(labels, ea, eb, cds, dds, merge_color,
-                            merge_depth)
+        labels = _rag_merge(labels, ea, eb, cds, dds, col.reshape(-1, 3),
+                            merge_color, merge_depth)
     return labels.reshape(h, w)
 
 
