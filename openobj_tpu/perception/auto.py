@@ -88,6 +88,13 @@ def run_auto_perception(cfg) -> None:
         depth_scale=1.0 / cfg.depth_scale,
         fx=float(cam.fx), fy=float(cam.fy),
         cx=float(cam.cx), cy=float(cam.cy),
+        # second-stage point-cloud overlap threshold, relaxed from the
+        # reference's 0.6: when Louvain splits one object temporally, the
+        # early-view and late-view clouds of the SAME object can overlap
+        # only ~0.5 (opposite faces), while clouds of DISTINCT objects in
+        # exact contact overlap ~0.03 (measured both ways) and the color/
+        # caption gates still apply — 0.4 heals splits with ~10x margin
+        weight_pc=0.4,
     )
     ypath = os.path.join(root, "assoc_generated.yaml")
     with open(ypath, "w") as f:
