@@ -63,10 +63,33 @@ def parse_xplane(logdir, top=40):
                     counts[nm] += 1
     rows = sorted(totals.items(), key=lambda kv: -kv[1])
     print(f"{'total_ms':>10} {'n':>6}  op")
-    for nm, ms in rows[:top]:
-        print(f"{ms:10.2f} {counts[nm]:6d}  {nm[:110]}")
+    shown = 0
+    for nm, ms in rows:
+        if shown >= top:
+            break
+        head = nm.split(" = ", 1)[0].lstrip("%")
+        if head.startswith(("copy-start", "copy-done", "slice-start",
+                            "slice-done", "while")):
+            continue          # async DMA spans / scan shells — not compute
+        print(f"{ms:10.2f} {counts[nm]:6d}  {nm[:140]}")
+        shown += 1
     print(f"\nsum of listed: {sum(ms for _, ms in rows[:top]):.1f} ms; "
           f"all ops: {sum(totals.values()):.1f} ms")
+
+    # category rollup: copy-start/-done are ASYNC DMAs that overlap compute
+    # (they are NOT the critical path unless compute starves); 'while' is
+    # the scan shell whose self-time nests everything. The compute rows
+    # (fusion/convolution/dot/etc.) are what serialize the step.
+    cats = defaultdict(float)
+    catn = defaultdict(int)
+    for nm, ms in rows:
+        head = nm.split(" = ", 1)[0].lstrip("%")
+        base = head.split(".")[0].rstrip("0123456789-")
+        cats[base] += ms
+        catn[base] += counts[nm]
+    print("\nby category:")
+    for base, ms in sorted(cats.items(), key=lambda kv: -kv[1])[:16]:
+        print(f"{ms:10.2f} {catn[base]:6d}  {base}")
 
 
 def main():
