@@ -71,6 +71,10 @@ class TrainConfig:
     field_impl: str = "xla"
     # "f32" or "bf16": MLP matmul operand precision (f32 masters + accum).
     compute_dtype: str = "f32"
+    # "segmented" (row-partitioned concat-free matmuls) or "merged"
+    # (column-merged sibling GEMMs — fewer, wider launches; the step is
+    # ensemble-GEMM-throughput-bound, see mlp.mlp_apply_merged docstring)
+    gemm_impl: str = "segmented"
     # unroll factor for the optimizer-step scan (amortizes per-iteration
     # fixed costs across the ~40 small fusions per step; raises compile
     # time). Numerics-invariant; env-overridable so the CPU test suite can
@@ -454,12 +458,14 @@ def _loss_for_slice(params, batch, active, cfg: TrainConfig, is_bg: bool):
         def apply_stacked(p, x):
             return object_field.field_apply_stacked(
                 p, x, max_deg=cfg.max_deg, do_clip=cfg.part_mode,
-                clip_hidden_only=True, compute_dtype=cfg.compute_dtype)
+                clip_hidden_only=True, compute_dtype=cfg.compute_dtype,
+                gemm_impl=cfg.gemm_impl)
 
         def apply_single(p, x):
             return object_field.field_apply(
                 p, x, max_deg=cfg.max_deg, do_clip=cfg.part_mode,
-                clip_hidden_only=True, compute_dtype=cfg.compute_dtype)
+                clip_hidden_only=True, compute_dtype=cfg.compute_dtype,
+                gemm_impl=cfg.gemm_impl)
 
     if cfg.remat:
         apply_stacked = jax.checkpoint(apply_stacked)

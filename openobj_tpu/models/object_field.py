@@ -66,6 +66,7 @@ def field_apply(
     do_clip: bool = True,
     clip_hidden_only: bool = False,
     compute_dtype: str = "f32",
+    gemm_impl: str = "segmented",
 ):
     """Evaluate one object's field at world-frame points [..., 3]."""
     emb1, _ = embedding.embedding_split(max_deg)
@@ -76,6 +77,7 @@ def field_apply(
         params["mlp"], emb, emb_size1=emb1,
         do_alpha=do_alpha, do_color=do_color, do_clip=do_clip,
         clip_hidden_only=clip_hidden_only, compute_dtype=compute_dtype,
+        gemm_impl=gemm_impl,
     )
 
 
@@ -88,6 +90,7 @@ def field_apply_stacked(
     do_clip: bool = True,
     clip_hidden_only: bool = False,
     compute_dtype: str = "f32",
+    gemm_impl: str = "segmented",
 ):
     """Evaluate all object fields at their own points.
 
@@ -99,6 +102,7 @@ def field_apply_stacked(
             p, x, max_deg=max_deg,
             do_alpha=do_alpha, do_color=do_color, do_clip=do_clip,
             clip_hidden_only=clip_hidden_only, compute_dtype=compute_dtype,
+            gemm_impl=gemm_impl,
         )
     )(stacked_params, points)
 

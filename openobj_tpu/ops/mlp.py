@@ -113,6 +113,125 @@ def _segments_linear_relu(p: dict, segs, cdt=None) -> jnp.ndarray:
     return jax.nn.relu(y + p["b"])
 
 
+def _merged_mm(x, w, b=None, cdt=None):
+    if cdt is not None:
+        y = jnp.dot(x.astype(cdt), w.astype(cdt),
+                    preferred_element_type=jnp.float32)
+    else:
+        y = x @ w
+    return y if b is None else y + b
+
+
+def mlp_apply_merged(
+    params: dict,
+    emb,
+    emb_size1: int = 87,
+    do_alpha: bool = True,
+    do_color: bool = True,
+    do_clip: bool = True,
+    do_cat: bool = True,
+    clip_hidden_only: bool = False,
+    compute_dtype: str = "f32",
+):
+    """mlp_apply with column-merged GEMMs (same math, fewer launches).
+
+    The step program is ensemble-GEMM-throughput-bound (the O-batched,
+    32-wide matmuls run at ~7 TFLOPS f32 — 7% of peak; measurements in
+    scripts/bench_gemm_variants.py), and the segmented form issues ~12
+    forward GEMMs. Sibling GEMMs that share an INPUT operand concatenate
+    along the OUTPUT axis into one wider launch (output columns are
+    independent, so each column's accumulation is bit-identical to the
+    separate matmul):
+
+      e1 -> [in_layer | cat_layer's e-rows]        (87 x 2h)
+      e2 -> [color_linear's | clip_linear's e-rows] (42 x 2h)
+      h3 -> [out_alpha | color_linear's h-rows | clip_linear's h-rows]
+                                                    (h x 1+2h)
+
+    7 forward launches instead of ~12, each 2-4x wider; the backward
+    merges come free (the transpose of a merged GEMM is merged). The
+    only non-bit-exact deviation vs the segmented path: e1 is
+    materialized by concat (t|sins), so the in/cat matmuls accumulate
+    [t|s]@[Wt;Ws] in one contraction instead of t@Wt + s@Ws (f32
+    roundoff-level reorder)."""
+    cdt = jnp.bfloat16 if compute_dtype == "bf16" else None
+    h = params["mid1"]["w"].shape[-1]
+    if isinstance(emb, tuple):
+        t, sins = emb
+        n_raw = t.shape[-1]
+        e1 = jnp.concatenate([t, sins[..., : emb_size1 - n_raw]], axis=-1)
+        e2 = sins[..., emb_size1 - n_raw:]
+    else:
+        e1, e2 = emb[..., :emb_size1], emb[..., emb_size1:]
+
+    if do_cat:
+        w1 = jnp.concatenate(
+            [params["in_layer"]["w"], params["cat_layer"]["w"][h:]], axis=-1
+        )
+        y1 = _merged_mm(e1, w1, cdt=cdt)
+        h1 = jax.nn.relu(y1[..., :h] + params["in_layer"]["b"])
+        cat_e = y1[..., h:]
+    else:
+        h1 = jax.nn.relu(
+            _merged_mm(e1, params["in_layer"]["w"],
+                       params["in_layer"]["b"], cdt))
+    h2 = jax.nn.relu(
+        _merged_mm(h1, params["mid1"]["w"], params["mid1"]["b"], cdt))
+    if do_cat:
+        hc = jax.nn.relu(
+            _merged_mm(h2, params["cat_layer"]["w"][:h], cdt=cdt)
+            + cat_e + params["cat_layer"]["b"])
+    else:
+        hc = h2
+    h3 = jax.nn.relu(
+        _merged_mm(hc, params["mid2"]["w"], params["mid2"]["b"], cdt))
+
+    use_color = do_color and "out_color" in params
+    use_clip = do_clip and "out_clip" in params
+
+    # e2 consumers (no bias here; added at the relu)
+    col_e = clip_e = None
+    if use_color and use_clip:
+        y5 = _merged_mm(
+            e2, jnp.concatenate([params["color_linear"]["w"][h:],
+                                 params["clip_linear"]["w"][h:]], axis=-1),
+            cdt=cdt)
+        col_e, clip_e = y5[..., :h], y5[..., h:]
+    elif use_color:
+        col_e = _merged_mm(e2, params["color_linear"]["w"][h:], cdt=cdt)
+    elif use_clip:
+        clip_e = _merged_mm(e2, params["clip_linear"]["w"][h:], cdt=cdt)
+
+    # h3 consumers
+    blocks, widths = [], []
+    if do_alpha:
+        blocks.append(params["out_alpha"]["w"]); widths.append(1)
+    if use_color:
+        blocks.append(params["color_linear"]["w"][:h]); widths.append(h)
+    if use_clip:
+        blocks.append(params["clip_linear"]["w"][:h]); widths.append(h)
+    alpha = color = clip = None
+    if blocks:
+        y6 = _merged_mm(h3, jnp.concatenate(blocks, axis=-1), cdt=cdt)
+        ofs = 0
+        if do_alpha:
+            alpha = (y6[..., :1] + params["out_alpha"]["b"]) * ALPHA_SCALE
+            ofs = 1
+        if use_color:
+            hcol = jax.nn.relu(
+                y6[..., ofs:ofs + h] + col_e + params["color_linear"]["b"])
+            color = jax.nn.sigmoid(
+                _merged_mm(hcol, params["out_color"]["w"],
+                           params["out_color"]["b"], cdt))
+            ofs += h
+        if use_clip:
+            hf = jax.nn.relu(
+                y6[..., ofs:ofs + h] + clip_e + params["clip_linear"]["b"])
+            clip = hf if clip_hidden_only else _merged_mm(
+                hf, params["out_clip"]["w"], params["out_clip"]["b"], cdt)
+    return alpha, color, clip
+
+
 def mlp_apply(
     params: dict,
     emb: jnp.ndarray,
@@ -123,6 +242,7 @@ def mlp_apply(
     do_cat: bool = True,
     clip_hidden_only: bool = False,
     compute_dtype: str = "f32",
+    gemm_impl: str = "segmented",
 ):
     """Evaluate the field at embedded points.
 
@@ -147,7 +267,17 @@ def mlp_apply(
     positional_encoding(concat=False)) — every layer then consumes the
     pieces via row-partitioned matmuls, so the [..., 129] embedding tensor
     is never materialized at all.
+
+    gemm_impl "merged" routes to mlp_apply_merged (column-merged sibling
+    GEMMs — fewer, wider launches; see its docstring for the measured
+    rationale).
     """
+    if gemm_impl == "merged":
+        return mlp_apply_merged(
+            params, emb, emb_size1=emb_size1, do_alpha=do_alpha,
+            do_color=do_color, do_clip=do_clip, do_cat=do_cat,
+            clip_hidden_only=clip_hidden_only, compute_dtype=compute_dtype,
+        )
     cdt = jnp.bfloat16 if compute_dtype == "bf16" else None
     if isinstance(emb, tuple):
         t, sins = emb

@@ -46,11 +46,11 @@ def timed(cfg_kwargs, label):
 if __name__ == "__main__":
     args = sys.argv[1:]
     if args:
-        kw = {}
+        kw = {"part_mode": True}
         for a in args:
             k, v = a.split("=", 1)
             kw[k] = eval(v)  # noqa: S307 — operator-supplied CLI
-        timed(dict(part_mode=True, **kw), " ".join(args))
+        timed(kw, " ".join(args))
     else:
         timed(dict(part_mode=True), "full (part+bg)")
         timed(dict(part_mode=False), "no part loss")

@@ -458,3 +458,101 @@ class TestStepBatchLoss:
             partfeat_head=head1,
         )
         np.testing.assert_allclose(float(t2), float(t1), rtol=2e-5)
+
+
+class TestMergedGemm:
+    """gemm_impl="merged" (column-merged sibling GEMMs, mlp_apply_merged):
+    must match the segmented path in values and gradients — output columns
+    of a merged GEMM accumulate independently, so the only roundoff-level
+    deviation is the e1 concat's contraction reorder."""
+
+    def _params_pts(self, key, clip=True):
+        from openobj_tpu.models import object_field
+
+        p = object_field.init_stacked_fields(
+            key, 3, hidden=32, clip_size=64, scale=2.0
+        )
+        pts = jax.random.normal(key, (3, 40, 3))
+        return p, pts
+
+    def test_forward_parity_all_flag_combos(self, key):
+        from openobj_tpu.models import object_field
+
+        p, pts = self._params_pts(key)
+        combos = [
+            dict(),
+            dict(clip_hidden_only=True),
+            dict(do_clip=False),
+            dict(do_alpha=False, do_clip=False),
+            dict(do_color=False, do_clip=False),
+        ]
+        for kw in combos:
+            r0 = object_field.field_apply_stacked(
+                p, pts, gemm_impl="segmented", **kw)
+            r1 = object_field.field_apply_stacked(
+                p, pts, gemm_impl="merged", **kw)
+            for x, y in zip(r0, r1):
+                if x is None:
+                    assert y is None
+                    continue
+                np.testing.assert_allclose(
+                    np.asarray(x), np.asarray(y), atol=2e-5), kw
+
+    def test_grad_parity(self, key):
+        from openobj_tpu.models import object_field
+
+        p, pts = self._params_pts(key)
+
+        def loss(params, gi):
+            a, c, f = object_field.field_apply_stacked(
+                p if params is None else params, pts,
+                clip_hidden_only=True, gemm_impl=gi)
+            return a.sum() + (c ** 2).sum() + jnp.abs(f).sum()
+
+        g0 = jax.grad(lambda q: loss(q, "segmented"))(p)
+        g1 = jax.grad(lambda q: loss(q, "merged"))(p)
+        for l0, l1 in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+            scale = float(jnp.max(jnp.abs(l0))) + 1e-9
+            assert float(jnp.max(jnp.abs(l0 - l1))) / scale < 1e-4
+
+    def test_train_frame_converges_with_merged(self, key):
+        """One jitted frame with gemm_impl=merged trains to ~the same loss
+        as segmented on the same batch (same RNG stream)."""
+        from openobj_tpu.core import trainer as T
+        from openobj_tpu.core.frame_store import append_frame, init_frame_store
+        from openobj_tpu.core.scene import Camera
+
+        rng = np.random.default_rng(0)
+        cam = Camera(width=24, height=18, fx=15.0, fy=15.0, cx=12.0, cy=9.0)
+        store = init_frame_store(2, cam.height, cam.width, part_feat_dim=0)
+        inst = rng.integers(-1, 3, (cam.height, cam.width)).astype(np.int32)
+        store, _ = append_frame(
+            store,
+            rng.integers(0, 255, (cam.height, cam.width, 3)).astype(np.uint8),
+            rng.uniform(0.5, 3.0, (cam.height, cam.width)).astype(np.float32),
+            inst, np.eye(4, dtype=np.float32))
+        tables = {
+            "kf_frames": jnp.zeros((4, 2), jnp.int32),
+            "kf_bbox": jnp.tile(jnp.asarray(
+                [0, cam.height, 0, cam.width], jnp.float32), (4, 2, 1)),
+            "n_kf": jnp.ones((4,), jnp.int32),
+            "latest2": jnp.zeros((4, 2), jnp.int32),
+            "active": jnp.ones((4,), bool),
+            "obj_inst": jnp.arange(1, 5, dtype=jnp.int32),
+            "obj_center": jnp.zeros((4, 3), jnp.float32),
+        }
+        losses = {}
+        for gi in ("segmented", "merged"):
+            cfg = T.TrainConfig(
+                n_iters_per_frame=10, win_size=2, n_samples_per_frame=8,
+                hidden=16, hidden_bg=16, clip_size=8, do_bg=False,
+                part_mode=False, gemm_impl=gi)
+            state = T.init_train_state(jax.random.PRNGKey(0), cfg, n_slots=4)
+            _, per_iter = T.train_frame(
+                state, store, cam.ray_dirs(), tables, None,
+                jax.random.PRNGKey(1), cfg)
+            losses[gi] = np.asarray(per_iter)
+        assert np.isfinite(losses["merged"]).all()
+        np.testing.assert_allclose(
+            losses["merged"], losses["segmented"], rtol=2e-3)
+
