@@ -117,10 +117,58 @@ def process_instance_frame(
     return inst, bboxes, clip_d, cap_d
 
 
+def infer_assoc_stride(inst_dir: str, n_raw: int, train_stride: int = 10,
+                       default: int = 10) -> int:
+    """Association-artifact stride, inferred from the artifacts themselves.
+
+    The perception stages write one instance map / feature entry per
+    KEYFRAME (raw indices 0, s, 2s, ... -> artifact k for raw frame k*s).
+    The reference hardcodes s=10 (dataset.py:82), but the weights-free
+    auto path scales s to the sequence length (perception.auto
+    keyframe_skip) — a loader that assumed 10 would hand every frame of a
+    short scene the WRONG frame's instance supervision. Inference: count
+    the semantic_instance_*.png files; the unique stride consistent with
+    covering n_raw frames satisfies (n_assoc-1)*s < n_raw <= n_assoc*s,
+    i.e. s = ceil(n_raw / n_assoc).
+
+    The writer (perception.auto.keyframe_skip) only ever emits divisors of
+    the train stride, so any other inferred value is evidence of a
+    DAMAGED mount (e.g. one artifact deleted making 40 frames / 3 files
+    "look like" stride 14), not of an exotic layout — those, and missing
+    or empty artifact dirs (pre-perception runs), fall back to
+    ``default`` so the preflight's per-frame existence checks still fire
+    on the true indices."""
+    try:
+        n_assoc = sum(
+            1 for f in os.listdir(inst_dir)
+            if f.startswith("semantic_instance_") and f.endswith(".png")
+        )
+    except OSError:
+        return default
+    if n_assoc <= 0 or n_raw <= 0:
+        return default
+    s = -(-n_raw // n_assoc)
+    if (n_assoc - 1) * s < n_raw <= n_assoc * s and train_stride % s == 0:
+        return s
+    return default
+
+
 class _SequenceDataset:
     """Common Replica/ScanNet logic; subclasses provide file lists."""
 
-    assoc_stride = 10  # artifact index = frame_idx // 10 (dataset.py:82)
+    # artifact index = frame_idx // assoc_stride (reference dataset.py:82);
+    # inferred lazily from the artifacts via infer_assoc_stride — lazily
+    # because ScanNet's file lists are built AFTER the base __init__
+    _assoc_stride: int | None = None
+
+    @property
+    def assoc_stride(self) -> int:
+        if self._assoc_stride is None:
+            self._assoc_stride = infer_assoc_stride(
+                os.path.dirname(self._inst_path(0)), self._n_raw_frames(),
+                train_stride=self.stride,
+            )
+        return self._assoc_stride
 
     def __init__(self, root_dir: str, start: int = 0, stride: int = 10,
                  depth_scale: float = 1e-3, max_depth: float = 8.0,

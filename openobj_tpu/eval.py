@@ -108,22 +108,31 @@ def matched_instance_miou(pred_maps, gt_maps, pred_bg=(0, 1, 2, 3, 999),
     gt_ids = sorted(
         {int(i) for g in gt_maps for i in np.unique(g)} - set(gt_bg)
     )
-    inter = np.zeros((len(gt_ids), len(pred_ids)))
-    area_g = np.zeros(len(gt_ids))
-    area_p = np.zeros(len(pred_ids))
-    bg_i = bg_u = 0.0
+    # one bincount confusion matrix per frame (O(H*W)) instead of a
+    # G x P double loop of full-image mask compares (O(G*P*H*W) — minutes
+    # at real resolution). Index space: gt ids -> 1..G (0 = background),
+    # pred ids -> 1..P (0 = background); cell (a, b) counts pixels.
+    g_lut = {gi: a + 1 for a, gi in enumerate(gt_ids)}
+    p_lut = {pi: b + 1 for b, pi in enumerate(pred_ids)}
+    ng, npd = len(gt_ids) + 1, len(pred_ids) + 1
+    conf = np.zeros((ng, npd), np.int64)
     for p, g in zip(pred_maps, gt_maps):
-        pb = np.isin(p, pred_bg)
-        gb = np.isin(g, gt_bg)
-        bg_i += float((pb & gb).sum())
-        bg_u += float((pb | gb).sum())
-        for a, gi in enumerate(gt_ids):
-            gm = g == gi
-            area_g[a] += float(gm.sum())
-            for b, pi in enumerate(pred_ids):
-                inter[a, b] += float((gm & (p == pi)).sum())
-        for b, pi in enumerate(pred_ids):
-            area_p[b] += float((p == pi).sum())
+        gi = np.zeros(g.shape, np.int64)
+        for v, a in g_lut.items():
+            gi[g == v] = a
+        pi = np.zeros(p.shape, np.int64)
+        for v, b in p_lut.items():
+            pi[p == v] = b
+        conf += np.bincount(
+            (gi * npd + pi).ravel(), minlength=ng * npd
+        ).reshape(ng, npd)
+    # bucket 0 = exactly the bg ids: pred_ids/gt_ids enumerate EVERY
+    # non-bg id that occurs in the sequence, so nothing else can land in 0
+    bg_i = float(conf[0, 0])
+    bg_u = float(conf[0, :].sum() + conf[:, 0].sum() - conf[0, 0])
+    inter = conf[1:, 1:].astype(np.float64)
+    area_g = conf[1:, :].sum(1).astype(np.float64)
+    area_p = conf[:, 1:].sum(0).astype(np.float64)
     union = area_g[:, None] + area_p[None, :] - inter
     iou = np.where(union > 0, inter / np.maximum(union, 1.0), 0.0)
     matches: dict[int, int | None] = {gi: None for gi in gt_ids}

@@ -203,13 +203,13 @@ def mlp_apply_merged(
         clip_e = _merged_mm(e2, params["clip_linear"]["w"][h:], cdt=cdt)
 
     # h3 consumers
-    blocks, widths = [], []
+    blocks = []
     if do_alpha:
-        blocks.append(params["out_alpha"]["w"]); widths.append(1)
+        blocks.append(params["out_alpha"]["w"])
     if use_color:
-        blocks.append(params["color_linear"]["w"][:h]); widths.append(h)
+        blocks.append(params["color_linear"]["w"][:h])
     if use_clip:
-        blocks.append(params["clip_linear"]["w"][:h]); widths.append(h)
+        blocks.append(params["clip_linear"]["w"][:h])
     alpha = color = clip = None
     if blocks:
         y6 = _merged_mm(h3, jnp.concatenate(blocks, axis=-1), cdt=cdt)

@@ -14,7 +14,7 @@ from __future__ import annotations
 import os
 
 
-def keyframe_skip(n_frames: int) -> int:
+def keyframe_skip(n_frames: int, train_stride: int = 10) -> int:
     """Association keyframe stride, scaled to the sequence length. The
     reference uses a fixed skip=10 on 2000-frame scenes — 200 keyframes a
     degree or two of camera motion apart, so consecutive views of an object
@@ -24,8 +24,19 @@ def keyframe_skip(n_frames: int) -> int:
     ~0.2, below any edge the weighted rule admits). A fixed 10 on a
     40-frame fixture leaves 4 keyframes ~90 degrees apart — the same
     object re-enters as a new cluster. Target >= 10 keyframes, capped at
-    the reference's stride."""
-    return max(1, min(10, n_frames // 10))
+    the reference's stride.
+
+    The result must DIVIDE ``train_stride``: the trainer loads raw frames
+    0, T, 2T, ... and maps each to artifact index frame//skip and to
+    partlevel/<frame>.npy (loaders.py) — a skip that does not divide T
+    hands trained frames a NEIGHBORING keyframe's instance map and leaves
+    partlevel holes. So the skip is the largest divisor of train_stride
+    within the length-scaled target (for T=10: 1, 2, 5, or 10)."""
+    target = max(1, min(train_stride, n_frames // 10))
+    for s in range(target, 0, -1):
+        if train_stride % s == 0:
+            return s
+    return 1
 
 
 def count_raw_frames(root: str) -> int:
@@ -73,7 +84,7 @@ def run_auto_perception(cfg) -> None:
 
     root, cam = cfg.dataset_dir, cfg.camera
     k = scaled_knobs(cam, cfg.max_depth)
-    skip = keyframe_skip(count_raw_frames(root))
+    skip = keyframe_skip(count_raw_frames(root), train_stride=cfg.stride)
     common = [root, "--format", cfg.dataset_format,
               "--depth-scale", str(cfg.depth_scale),
               "--max-depth", str(cfg.max_depth)]

@@ -11,8 +11,11 @@ Measures, on the real chip, at the room_0 training shape:
 into one kernel: the megakernel removes ~108 small fusions/step but must
 not give back the matmul time. (4) prices a launch-per-step fallback.
 
-Scan-timing protocol per docs/PERFORMANCE.md (vary inputs, subtract
-1-step scan, median of repeats).
+Scan-timing protocol per docs/PERFORMANCE.md. CAVEAT: sections 1-3
+time ops LINEAR in the perturbed operand — XLA folds the perturbation
+and hoists the matmul (see _benchlib docstring), so those rows
+under-report; only section 4 (nonlinear-free no-op launch cost) and
+xplane self-times are trustworthy.
 """
 import sys, os, time, json
 
@@ -27,23 +30,7 @@ from jax.experimental.pallas import tpu as pltpu
 O, N, K, H = 64, 1200, 88, 32   # in-width padded 87->88 (8-multiple)
 
 
-def scan_time(fn, args, iters=50, reps=3):
-    """Median (t_scanN - t_scan1)/(N-1) with per-iter varying input."""
-    def scanned(n):
-        def body(c, k):
-            out = fn(*args[:-1], args[-1] + k)
-            return c + out.mean().astype(jnp.float32), None
-        r, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(n, dtype=jnp.float32))
-        return r
-    f1 = jax.jit(lambda: scanned(1)).lower().compile()
-    fN = jax.jit(lambda: scanned(iters)).lower().compile()
-    jax.block_until_ready(f1()); jax.block_until_ready(fN())
-    ts = []
-    for _ in range(reps):
-        t0 = time.perf_counter(); jax.block_until_ready(f1()); t1 = time.perf_counter()
-        jax.block_until_ready(fN()); t2 = time.perf_counter()
-        ts.append(((t2 - t1) - (t1 - t0)) / (iters - 1))
-    return float(np.median(ts))
+from _benchlib import scan_time  # noqa: E402
 
 
 def main():
@@ -151,10 +138,10 @@ def main():
     def pallas_nop(_, x):
         return pl.pallas_call(
             nop_kernel,
-            out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((8, K), jnp.float32),
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        )(x[0, :8, :128])
+        )(x[0, :8, :])
     t = scan_time(pallas_nop, (w, x))
     print(json.dumps({"which": "pallas_nop_launch", "us": round(t * 1e6, 1)}))
 

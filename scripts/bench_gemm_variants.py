@@ -1,11 +1,12 @@
 #!/usr/bin/env python
 """Ensemble-GEMM lowering variants at the room_0 training shape.
 
-The per-frame training program is matmul-throughput-bound: the batched
-ensemble GEMM [O,N,K]x[O,K,H] measures 10.7 TFLOPS f32 (11% of peak) —
-the O=64-batched, H=32-narrow shape wastes MXU lanes. This sweep prices
-every candidate for raising that: bf16 operands, lane-packing variants,
-the dW (contract-over-rays) shape, and conv-style lowering.
+HISTORICAL CAVEAT (kept as a measurement lesson, see _benchlib and
+docs/PERFORMANCE.md): the scan protocol's additive perturbation is
+INVALID for ops linear in the perturbed operand — XLA hoists x@w out of
+the loop and folds x@(w+k) to a broadcast-add, which produced impossible
+>peak "TFLOPS" in this sweep's first runs. Trust xplane self-times of
+the real training program for GEMM costs, not these rows.
 """
 import sys, os, time, json
 
@@ -18,26 +19,7 @@ import jax.numpy as jnp
 O, N, K, H = 64, 1200, 88, 32
 
 
-def scan_time(fn, args, iters=400, reps=5):
-    """Median(fN) - median(f1), each timed separately — the paired-subtract
-    form goes negative under the tunnel's multi-ms dispatch jitter."""
-    def scanned(n):
-        def body(c, k):
-            out = fn(*args[:-1], args[-1] + k.astype(args[-1].dtype))
-            return c + out.mean().astype(jnp.float32), None
-        r, _ = jax.lax.scan(body, jnp.float32(0),
-                            jnp.arange(n, dtype=jnp.float32))
-        return r
-    f1 = jax.jit(lambda: scanned(1)).lower().compile()
-    fN = jax.jit(lambda: scanned(iters)).lower().compile()
-    jax.block_until_ready(f1()); jax.block_until_ready(fN())
-    t1s, tNs = [], []
-    for _ in range(reps):
-        t0 = time.perf_counter(); jax.block_until_ready(f1())
-        t1s.append(time.perf_counter() - t0)
-        t0 = time.perf_counter(); jax.block_until_ready(fN())
-        tNs.append(time.perf_counter() - t0)
-    return (float(np.median(tNs)) - float(np.median(t1s))) / (iters - 1)
+from _benchlib import scan_time  # noqa: E402
 
 
 def row(which, t, flops):

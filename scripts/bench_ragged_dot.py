@@ -20,24 +20,7 @@ import jax.numpy as jnp
 O, N, K, H = 64, 1200, 88, 32
 
 
-def scan_time(fn, args, iters=400, reps=5):
-    def scanned(n):
-        def body(c, k):
-            out = fn(*args[:-1], args[-1] + k.astype(args[-1].dtype))
-            return c + out.mean().astype(jnp.float32), None
-        r, _ = jax.lax.scan(body, jnp.float32(0),
-                            jnp.arange(n, dtype=jnp.float32))
-        return r
-    f1 = jax.jit(lambda: scanned(1)).lower().compile()
-    fN = jax.jit(lambda: scanned(iters)).lower().compile()
-    jax.block_until_ready(f1()); jax.block_until_ready(fN())
-    t1s, tNs = [], []
-    for _ in range(reps):
-        t0 = time.perf_counter(); jax.block_until_ready(f1())
-        t1s.append(time.perf_counter() - t0)
-        t0 = time.perf_counter(); jax.block_until_ready(fN())
-        tNs.append(time.perf_counter() - t0)
-    return (float(np.median(tNs)) - float(np.median(t1s))) / (iters - 1)
+from _benchlib import scan_time  # noqa: E402
 
 
 def row(which, t, flops):

@@ -218,7 +218,10 @@ def check_end_to_end(ds, cfg, n_frames):
     n = len(ds)
     if not check("dataset length > 0", n > 0, f"{n} sampled frames"):
         return
-    take = sorted({0, n - 1} | set(range(min(n_frames, n))))[:max(n_frames, 2)]
+    # first n_frames-1 sampled frames PLUS always the last one: the sorted
+    # slice form silently truncated n-1 (the largest element) for any
+    # n > n_frames, letting tail-corrupt mounts pass preflight
+    take = sorted(set(range(min(max(n_frames - 1, 1), n))) | {n - 1})
     for i in take:
         try:
             s = ds[i]

@@ -63,6 +63,7 @@ def parse_xplane(logdir, top=40):
                     counts[nm] += 1
     rows = sorted(totals.items(), key=lambda kv: -kv[1])
     print(f"{'total_ms':>10} {'n':>6}  op")
+    listed_ms = 0.0
     shown = 0
     for nm, ms in rows:
         if shown >= top:
@@ -72,8 +73,9 @@ def parse_xplane(logdir, top=40):
                             "slice-done", "while")):
             continue          # async DMA spans / scan shells — not compute
         print(f"{ms:10.2f} {counts[nm]:6d}  {nm[:140]}")
+        listed_ms += ms
         shown += 1
-    print(f"\nsum of listed: {sum(ms for _, ms in rows[:top]):.1f} ms; "
+    print(f"\nsum of listed: {listed_ms:.1f} ms; "
           f"all ops: {sum(totals.values()):.1f} ms")
 
     # category rollup: copy-start/-done are ASYNC DMAs that overlap compute

@@ -106,6 +106,17 @@ def run_one_scene(cfg_path: str, scene: str, args) -> dict:
             # render/mapping_class.json (same id space as maskid renders)
             gt_sem = os.path.join(root, "semantic_class")
             gt_inst = os.path.join(root, "instance_our")
+            # assoc stride inferred from the artifacts (the auto
+            # perception path scales it to short scenes; see
+            # loaders.infer_assoc_stride)
+            from openobj_tpu.data.loaders import infer_assoc_stride
+            from openobj_tpu.perception.auto import count_raw_frames
+
+            train_stride = (json.load(open(cfg_path))
+                            .get("trainer", {}).get("stride", 1))
+            sem_stride = infer_assoc_stride(
+                gt_inst, count_raw_frames(root), train_stride=train_stride
+            )
             entry["eval"] = {
                 k: (round(float(v), 4) if np.isscalar(v) else v)
                 for k, v in evaluate_run(
@@ -114,7 +125,7 @@ def run_one_scene(cfg_path: str, scene: str, args) -> dict:
                     os.path.join(root, "depth"),
                     gt_sem if os.path.isdir(gt_sem) else None,
                     args.n_classes,
-                    sem_stride=10,  # class_our/instance_our assoc stride
+                    sem_stride=sem_stride,
                     gt_inst_dir=gt_inst if os.path.isdir(gt_inst) else None,
                 ).items()
             }

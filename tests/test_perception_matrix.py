@@ -108,12 +108,74 @@ class TestKeyframeSkip:
         assert keyframe_skip(2000) == 10
 
     def test_short_fixture_targets_10_keyframes(self):
-        assert keyframe_skip(40) == 4
+        # constrained to divisors of the train stride: the trainer maps
+        # frame -> artifact by integer division, so skip must divide it
+        assert keyframe_skip(40) == 2
+        assert keyframe_skip(50) == 5
         assert keyframe_skip(100) == 10
+
+    def test_skip_always_divides_train_stride(self):
+        for n in (0, 3, 17, 40, 55, 99, 100, 2000):
+            for t in (1, 4, 10, 12):
+                assert t % keyframe_skip(n, train_stride=t) == 0, (n, t)
 
     def test_tiny_sequence_never_zero(self):
         assert keyframe_skip(3) == 1
         assert keyframe_skip(0) == 1
+
+
+class TestInferAssocStride:
+    def _write(self, tmp_path, n_assoc):
+        d = tmp_path / "instance_our"
+        d.mkdir(exist_ok=True)
+        for i in range(n_assoc):
+            (d / f"semantic_instance_{i}.png").write_bytes(b"x")
+        return str(d)
+
+    def test_infers_short_scene_stride(self, tmp_path):
+        from openobj_tpu.data.loaders import infer_assoc_stride
+
+        # 40 raw frames, artifacts written at skip 2 -> 20 files
+        assert infer_assoc_stride(self._write(tmp_path, 20), 40) == 2
+
+    def test_infers_reference_stride(self, tmp_path):
+        from openobj_tpu.data.loaders import infer_assoc_stride
+
+        assert infer_assoc_stride(self._write(tmp_path, 200), 2000) == 10
+
+    def test_missing_dir_falls_back(self, tmp_path):
+        from openobj_tpu.data.loaders import infer_assoc_stride
+
+        assert infer_assoc_stride(str(tmp_path / "nope"), 40) == 10
+
+    def test_roundtrips_every_writer_skip(self, tmp_path):
+        from openobj_tpu.data.loaders import infer_assoc_stride
+
+        # whatever skip the writer used (frames 0, s, 2s, ...; always a
+        # divisor of the train stride, per keyframe_skip), the inference
+        # must recover it exactly
+        for n_raw in (20, 40, 55, 100, 2000):
+            for s, t in ((1, 10), (2, 10), (4, 4), (4, 12), (5, 10), (10, 10)):
+                n_assoc = -(-n_raw // s)
+                d = tmp_path / f"case_{n_raw}_{s}_{t}" / "instance_our"
+                d.mkdir(parents=True)
+                for i in range(n_assoc):
+                    (d / f"semantic_instance_{i}.png").write_bytes(b"x")
+                got = infer_assoc_stride(str(d), n_raw, train_stride=t)
+                assert got == s, (n_raw, s, t)
+
+    def test_corrupt_mount_falls_back_not_misinfers(self, tmp_path):
+        from openobj_tpu.data.loaders import infer_assoc_stride
+
+        # 40 raw frames at skip 10 -> 4 artifacts; delete one and the
+        # count "looks like" stride 14 (3 files cover 40 frames), but 14
+        # divides no sane train stride — inference must fall back to the
+        # default so preflight existence checks still probe frames 10/30
+        d = tmp_path / "instance_our"
+        d.mkdir()
+        for i in (0, 2, 3):   # artifact 1 missing
+            (d / f"semantic_instance_{i}.png").write_bytes(b"x")
+        assert infer_assoc_stride(str(d), 40, train_stride=10) == 10
 
 
 class TestTextureGuard:
