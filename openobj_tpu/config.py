@@ -127,6 +127,11 @@ def load_scene_config(path: str) -> SceneConfig:
         # C-wide GEMMs to bf16 operands with f32 masters/accumulation
         # (the gt side of the part GEMM is exact in bf16 — int8 values)
         compute_dtype=tr.get("compute_dtype", "f32"),
+        # implementation knobs (trainer.TrainConfig docstrings for the
+        # measured tradeoffs): "segmented" | "merged" | "merged_params"
+        gemm_impl=tr.get("gemm_impl", "segmented"),
+        field_impl=tr.get("field_impl", "xla"),
+        optim_impl=tr.get("optim_impl", "tree"),
     )
 
     vis = c.get("vis", {})

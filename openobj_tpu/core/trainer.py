@@ -71,9 +71,16 @@ class TrainConfig:
     field_impl: str = "xla"
     # "f32" or "bf16": MLP matmul operand precision (f32 masters + accum).
     compute_dtype: str = "f32"
-    # "segmented" (row-partitioned concat-free matmuls) or "merged"
+    # "segmented" (row-partitioned concat-free matmuls), "merged"
     # (column-merged sibling GEMMs — fewer, wider launches; the step is
-    # ensemble-GEMM-throughput-bound, see mlp.mlp_apply_merged docstring)
+    # ensemble-GEMM-throughput-bound, see mlp.mlp_apply_merged docstring),
+    # or "merged_params" (merged GEMMs over PRE-CONCATENATED weight
+    # blocks: train_frame re-lays the param + Adam trees into
+    # mlp.merge_mlp_params layout once per frame, runs the whole
+    # optimizer scan in that layout — identical update math to f32
+    # roundoff, zero per-step weight concats/grad-splits — and converts
+    # back before returning, so checkpoints/interop/render all still
+    # see the reference layout)
     gemm_impl: str = "segmented"
     # unroll factor for the optimizer-step scan (amortizes per-iteration
     # fixed costs across the ~40 small fusions per step; raises compile
@@ -442,6 +449,27 @@ def sample_bg_batch(key, store, cam_dirs, bg_tables, cfg: TrainConfig,
 # --------------------------------------------------------------------------- #
 
 
+def _relayout_state(state: TrainState, f) -> TrainState:
+    """Apply a param-layout conversion ``f`` (mlp.merge_mlp_params or its
+    inverse) to every mlp subtree in the train state — params AND the
+    Adam mu/nu trees, fg and bg. Pure slicing/concat, so converting the
+    optimizer moments is exactly as valid as converting the params
+    (AdamW is elementwise; see merge_mlp_params docstring)."""
+    def conv(tree):
+        return {**tree, "mlp": f(tree["mlp"])}
+
+    def conv_opt(o):
+        return optim.AdamWState(mu=conv(o.mu), nu=conv(o.nu), count=o.count)
+
+    bg_p, bg_o = state.bg_params, state.bg_opt
+    if bg_p is not None:
+        bg_p, bg_o = conv(bg_p), conv_opt(bg_o)
+    return TrainState(
+        fg_params=conv(state.fg_params), fg_opt=conv_opt(state.fg_opt),
+        bg_params=bg_p, bg_opt=bg_o,
+    )
+
+
 def _loss_for_slice(params, batch, active, cfg: TrainConfig, is_bg: bool):
     """Forward + step_batch_loss on one iteration's ray slice."""
     if cfg.field_impl == "pallas":
@@ -455,17 +483,19 @@ def _loss_for_slice(params, batch, active, cfg: TrainConfig, is_bg: bool):
             return fused_field.field_apply_fused(
                 p, x, max_deg=cfg.max_deg, do_clip=cfg.part_mode)
     else:
+        gi = "merged" if cfg.gemm_impl == "merged_params" else cfg.gemm_impl
+
         def apply_stacked(p, x):
             return object_field.field_apply_stacked(
                 p, x, max_deg=cfg.max_deg, do_clip=cfg.part_mode,
                 clip_hidden_only=True, compute_dtype=cfg.compute_dtype,
-                gemm_impl=cfg.gemm_impl)
+                gemm_impl=gi)
 
         def apply_single(p, x):
             return object_field.field_apply(
                 p, x, max_deg=cfg.max_deg, do_clip=cfg.part_mode,
                 clip_hidden_only=True, compute_dtype=cfg.compute_dtype,
-                gemm_impl=cfg.gemm_impl)
+                gemm_impl=gi)
 
     if cfg.remat:
         apply_stacked = jax.checkpoint(apply_stacked)
@@ -524,6 +554,21 @@ def train_frame(
     k_fg, k_bg, k_scan = jax.random.split(key, 3)
     active = fg_tables["active"]
     do_bg = cfg.do_bg and state.bg_params is not None
+
+    pre_merged = cfg.gemm_impl == "merged_params"
+    if pre_merged and cfg.field_impl == "pallas":
+        raise ValueError(
+            "gemm_impl='merged_params' is an XLA-path layout; the pallas "
+            "field kernel consumes the reference param layout"
+        )
+    if pre_merged:
+        # ONE layout conversion per frame (outside the scan) buys 100
+        # concat-free optimizer steps; converted back before returning so
+        # every external contract (checkpoint, interop, render, slot
+        # writes) keeps seeing the reference layout
+        from openobj_tpu.ops import mlp as _mlp
+
+        state = _relayout_state(state, _mlp.merge_mlp_params)
 
     def run_step(st, fg_sl, bg_sl, ray_minor=False):
         fg_sl, bg_sl = dict(fg_sl), None if bg_sl is None else dict(bg_sl)
@@ -592,6 +637,8 @@ def train_frame(
             opt_step, state, jnp.arange(cfg.n_iters_per_frame),
             unroll=cfg.scan_unroll,
         )
+        if pre_merged:
+            state = _relayout_state(state, _mlp.unmerge_mlp_params)
         return state, losses_per_iter
 
     # whole-frame batches, SCAN-ORDERED [iters, ...]: lax.scan consumes them
@@ -612,4 +659,6 @@ def train_frame(
     state, losses_per_iter = jax.lax.scan(
         opt_step, state, (fg_batch, bg_batch), unroll=cfg.scan_unroll,
     )
+    if pre_merged:
+        state = _relayout_state(state, _mlp.unmerge_mlp_params)
     return state, losses_per_iter

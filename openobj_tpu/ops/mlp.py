@@ -113,6 +113,98 @@ def _segments_linear_relu(p: dict, segs, cdt=None) -> jnp.ndarray:
     return jax.nn.relu(y + p["b"])
 
 
+def merge_mlp_params(p: dict) -> dict:
+    """Re-lay the param dict into the PRE-CONCATENATED blocks that
+    ``mlp_apply_merged`` consumes, so the merged GEMMs pay zero per-step
+    weight concats.
+
+    ``gemm_impl="merged"`` measured SLOWER end-to-end (0.1393 vs 0.1232
+    s/frame, docs/PERFORMANCE.md) because the merged weight blocks were
+    rebuilt by concat inside every optimizer step (weights change each
+    step) and their grad splits added back the fusions the merge saved.
+    Stored pre-merged, the rebuild and the grad splits vanish: the merged
+    block IS the parameter. AdamW is elementwise and concat commutes with
+    every elementwise update, so the training MATH is identical; executed
+    outputs match to f32 roundoff rather than bitwise, because XLA may
+    re-split a concat-fed GEMM in the reference layout (measured ~5e-6
+    rel loss delta after 10 steps — tests/test_ops_core.py).
+
+    Leaves use ellipsis indexing so the same function re-lays a single
+    model [in, out] or a stacked one [O, in, out] — and, because it is
+    pure slicing/concat, the optimizer's mu/nu trees convert with the
+    same function. ``unmerge_mlp_params`` is the exact inverse.
+
+    Layout (h = hidden):
+      e1w     [e1, 2h]    in_layer.w | cat_layer.w e-rows
+      cat_h   {w [h, h], b [h]}      cat_layer's h-rows + bias
+      e2w     [e2, 2h]    color_linear | clip_linear e-rows
+      h3w     [h, 1+2h]   out_alpha | color_linear h-rows | clip h-rows
+      in_b / alpha_b / color_b / clip_b   the split-off biases
+      mid1 / mid2 / out_color / out_clip  unchanged
+    """
+    h = p["mid1"]["w"].shape[-1]
+    if "color_linear" not in p or "clip_linear" not in p:
+        raise NotImplementedError(
+            "merged param layout requires both color and clip heads "
+            "(the training tree always carries both — trainer.py "
+            "init_train_state)"
+        )
+    return {
+        "e1w": jnp.concatenate(
+            [p["in_layer"]["w"], p["cat_layer"]["w"][..., h:, :]], axis=-1
+        ),
+        "in_b": p["in_layer"]["b"],
+        "mid1": p["mid1"],
+        "cat_h": {"w": p["cat_layer"]["w"][..., :h, :],
+                  "b": p["cat_layer"]["b"]},
+        "mid2": p["mid2"],
+        "e2w": jnp.concatenate(
+            [p["color_linear"]["w"][..., h:, :],
+             p["clip_linear"]["w"][..., h:, :]], axis=-1
+        ),
+        "h3w": jnp.concatenate(
+            [p["out_alpha"]["w"], p["color_linear"]["w"][..., :h, :],
+             p["clip_linear"]["w"][..., :h, :]], axis=-1
+        ),
+        "alpha_b": p["out_alpha"]["b"],
+        "color_b": p["color_linear"]["b"],
+        "clip_b": p["clip_linear"]["b"],
+        "out_color": p["out_color"],
+        "out_clip": p["out_clip"],
+    }
+
+
+def unmerge_mlp_params(m: dict) -> dict:
+    """Exact inverse of ``merge_mlp_params`` (reference layout back)."""
+    h = m["mid1"]["w"].shape[-1]
+    return {
+        "in_layer": {"w": m["e1w"][..., :h], "b": m["in_b"]},
+        "mid1": m["mid1"],
+        "cat_layer": {
+            "w": jnp.concatenate(
+                [m["cat_h"]["w"], m["e1w"][..., h:]], axis=-2
+            ),
+            "b": m["cat_h"]["b"],
+        },
+        "mid2": m["mid2"],
+        "out_alpha": {"w": m["h3w"][..., :1], "b": m["alpha_b"]},
+        "color_linear": {
+            "w": jnp.concatenate(
+                [m["h3w"][..., 1:1 + h], m["e2w"][..., :h]], axis=-2
+            ),
+            "b": m["color_b"],
+        },
+        "out_color": m["out_color"],
+        "clip_linear": {
+            "w": jnp.concatenate(
+                [m["h3w"][..., 1 + h:], m["e2w"][..., h:]], axis=-2
+            ),
+            "b": m["clip_b"],
+        },
+        "out_clip": m["out_clip"],
+    }
+
+
 def _merged_mm(x, w, b=None, cdt=None):
     if cdt is not None:
         y = jnp.dot(x.astype(cdt), w.astype(cdt),
@@ -153,34 +245,81 @@ def mlp_apply_merged(
     only non-bit-exact deviation vs the segmented path: e1 is
     materialized by concat (t|sins), so the in/cat matmuls accumulate
     [t|s]@[Wt;Ws] in one contraction instead of t@Wt + s@Ws (f32
-    roundoff-level reorder)."""
+    roundoff-level reorder).
+
+    ``params`` may be either the reference layout (blocks concatenated
+    here, per call — inside a scan that is per STEP, which is what made
+    plain merged mode slower end-to-end) or the pre-merged layout from
+    ``merge_mlp_params`` (zero concats). Pre-merged additionally row-
+    partitions the e1 GEMM when emb arrives as (t, sins) — t@Wt + s@Ws
+    instead of concat(t,s)@W — one more f32 accumulation reorder
+    (~3e-6 rel, tests/test_ops_core.py); every other pre-merged GEMM is
+    a contiguous slice of the stored block, i.e. identical width and
+    accumulation order."""
     cdt = jnp.bfloat16 if compute_dtype == "bf16" else None
     h = params["mid1"]["w"].shape[-1]
+    pre = "e1w" in params
+    e1_segs = None
     if isinstance(emb, tuple):
         t, sins = emb
         n_raw = t.shape[-1]
-        e1 = jnp.concatenate([t, sins[..., : emb_size1 - n_raw]], axis=-1)
+        if pre:
+            # pre-merged weights: consume the PE pieces by ROW-partitioning
+            # the column-merged block (t@W[:3] + sins@W[3:]) — the [.., 87]
+            # activation concat is a per-step HBM materialization the
+            # segmented path never pays, and here we get both: no concat
+            # AND the column-merged launch count
+            e1_segs = [t, sins[..., : emb_size1 - n_raw]]
+            e1 = None
+        else:
+            e1 = jnp.concatenate([t, sins[..., : emb_size1 - n_raw]], axis=-1)
         e2 = sins[..., emb_size1 - n_raw:]
     else:
         e1, e2 = emb[..., :emb_size1], emb[..., emb_size1:]
 
+    if pre:
+        in_b = params["in_b"]
+        cat_w_h, cat_b = params["cat_h"]["w"], params["cat_h"]["b"]
+        alpha_b = params["alpha_b"]
+        color_b, clip_b = params["color_b"], params["clip_b"]
+    else:
+        in_b = params["in_layer"]["b"]
+        cat_w_h = params["cat_layer"]["w"][:h]
+        cat_b = params["cat_layer"]["b"]
+        alpha_b = params["out_alpha"]["b"]
+        color_b = params.get("color_linear", {}).get("b")
+        clip_b = params.get("clip_linear", {}).get("b")
+
     if do_cat:
-        w1 = jnp.concatenate(
+        w1 = params["e1w"] if pre else jnp.concatenate(
             [params["in_layer"]["w"], params["cat_layer"]["w"][h:]], axis=-1
         )
-        y1 = _merged_mm(e1, w1, cdt=cdt)
-        h1 = jax.nn.relu(y1[..., :h] + params["in_layer"]["b"])
+        if e1_segs is not None:
+            ofs, y1 = 0, None
+            for s in e1_segs:
+                term = _merged_mm(s, w1[..., ofs:ofs + s.shape[-1], :], cdt=cdt)
+                ofs += s.shape[-1]
+                y1 = term if y1 is None else y1 + term
+        else:
+            y1 = _merged_mm(e1, w1, cdt=cdt)
+        h1 = jax.nn.relu(y1[..., :h] + in_b)
         cat_e = y1[..., h:]
     else:
-        h1 = jax.nn.relu(
-            _merged_mm(e1, params["in_layer"]["w"],
-                       params["in_layer"]["b"], cdt))
+        w_in = params["e1w"][..., :h] if pre else params["in_layer"]["w"]
+        if e1_segs is not None:
+            ofs, y1 = 0, None
+            for s in e1_segs:
+                term = _merged_mm(
+                    s, w_in[..., ofs:ofs + s.shape[-1], :], cdt=cdt)
+                ofs += s.shape[-1]
+                y1 = term if y1 is None else y1 + term
+            h1 = jax.nn.relu(y1 + in_b)
+        else:
+            h1 = jax.nn.relu(_merged_mm(e1, w_in, in_b, cdt))
     h2 = jax.nn.relu(
         _merged_mm(h1, params["mid1"]["w"], params["mid1"]["b"], cdt))
     if do_cat:
-        hc = jax.nn.relu(
-            _merged_mm(h2, params["cat_layer"]["w"][:h], cdt=cdt)
-            + cat_e + params["cat_layer"]["b"])
+        hc = jax.nn.relu(_merged_mm(h2, cat_w_h, cdt=cdt) + cat_e + cat_b)
     else:
         hc = h2
     h3 = jax.nn.relu(
@@ -191,7 +330,21 @@ def mlp_apply_merged(
 
     # e2 consumers (no bias here; added at the relu)
     col_e = clip_e = None
-    if use_color and use_clip:
+    if pre:
+        # slice the stored block to exactly the columns the reference-
+        # layout path would have concatenated: same GEMM width -> same
+        # accumulation order -> bit-equal outputs (a wider GEMM is NOT
+        # bit-stable vs a narrower one), and a contiguous slice of a leaf
+        # costs no concat (backward is a zero-pad)
+        if use_color or use_clip:
+            lo2 = 0 if use_color else h
+            hi2 = 2 * h if use_clip else h
+            y5 = _merged_mm(e2, params["e2w"][..., lo2:hi2], cdt=cdt)
+            if use_color:
+                col_e = y5[..., :h]
+            if use_clip:
+                clip_e = y5[..., (h if use_color else 0):]
+    elif use_color and use_clip:
         y5 = _merged_mm(
             e2, jnp.concatenate([params["color_linear"]["w"][h:],
                                  params["clip_linear"]["w"][h:]], axis=-1),
@@ -202,7 +355,30 @@ def mlp_apply_merged(
     elif use_clip:
         clip_e = _merged_mm(e2, params["clip_linear"]["w"][h:], cdt=cdt)
 
-    # h3 consumers
+    # h3 consumers (block columns: alpha [0:1], color [1:1+h], clip [1+h:])
+    alpha = color = clip = None
+    if pre:
+        lo = 0 if do_alpha else (1 if use_color else 1 + h)
+        hi = (1 + 2 * h) if use_clip else ((1 + h) if use_color else 1)
+        if do_alpha and use_clip and not use_color:
+            lo, hi = 0, 1 + 2 * h   # non-contiguous ask: take the full block
+        if hi > lo:
+            y6 = _merged_mm(h3, params["h3w"][..., lo:hi], cdt=cdt)
+            if do_alpha:
+                alpha = (y6[..., :1] + alpha_b) * ALPHA_SCALE
+            if use_color:
+                hcol = jax.nn.relu(
+                    y6[..., 1 - lo:1 - lo + h] + col_e + color_b)
+                color = jax.nn.sigmoid(
+                    _merged_mm(hcol, params["out_color"]["w"],
+                               params["out_color"]["b"], cdt))
+            if use_clip:
+                hf = jax.nn.relu(
+                    y6[..., 1 + h - lo:1 + 2 * h - lo] + clip_e + clip_b)
+                clip = hf if clip_hidden_only else _merged_mm(
+                    hf, params["out_clip"]["w"], params["out_clip"]["b"], cdt)
+        return alpha, color, clip
+
     blocks = []
     if do_alpha:
         blocks.append(params["out_alpha"]["w"])
@@ -210,23 +386,20 @@ def mlp_apply_merged(
         blocks.append(params["color_linear"]["w"][:h])
     if use_clip:
         blocks.append(params["clip_linear"]["w"][:h])
-    alpha = color = clip = None
     if blocks:
         y6 = _merged_mm(h3, jnp.concatenate(blocks, axis=-1), cdt=cdt)
         ofs = 0
         if do_alpha:
-            alpha = (y6[..., :1] + params["out_alpha"]["b"]) * ALPHA_SCALE
+            alpha = (y6[..., :1] + alpha_b) * ALPHA_SCALE
             ofs = 1
         if use_color:
-            hcol = jax.nn.relu(
-                y6[..., ofs:ofs + h] + col_e + params["color_linear"]["b"])
+            hcol = jax.nn.relu(y6[..., ofs:ofs + h] + col_e + color_b)
             color = jax.nn.sigmoid(
                 _merged_mm(hcol, params["out_color"]["w"],
                            params["out_color"]["b"], cdt))
             ofs += h
         if use_clip:
-            hf = jax.nn.relu(
-                y6[..., ofs:ofs + h] + clip_e + params["clip_linear"]["b"])
+            hf = jax.nn.relu(y6[..., ofs:ofs + h] + clip_e + clip_b)
             clip = hf if clip_hidden_only else _merged_mm(
                 hf, params["out_clip"]["w"], params["out_clip"]["b"], cdt)
     return alpha, color, clip
@@ -272,7 +445,9 @@ def mlp_apply(
     GEMMs — fewer, wider launches; see its docstring for the measured
     rationale).
     """
-    if gemm_impl == "merged":
+    if gemm_impl == "merged" or "e1w" in params:
+        # a pre-merged layout (merge_mlp_params) only evaluates on the
+        # merged path — the segmented path's keys don't exist in it
         return mlp_apply_merged(
             params, emb, emb_size1=emb_size1, do_alpha=do_alpha,
             do_color=do_color, do_clip=do_clip, do_cat=do_cat,
