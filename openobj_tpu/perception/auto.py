@@ -93,6 +93,10 @@ def run_auto_perception(cfg) -> None:
         "--seg-min-size", str(k["seg_min"]),
         "--seg-stride", str(k["seg_stride"]),
         "--crop-pad", str(k["crop_pad"]),
+        # intrinsics unlock the texture-band (head-on depth-continuity)
+        # merge — entity masks want whole striped/patterned objects.
+        # NOT passed to partfeat below: parts ARE color regions there
+        "--seg-fx", str(cam.fx),
     ])
     ycfg = dict(
         skip=skip, graph_method="weighted",

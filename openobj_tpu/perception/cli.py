@@ -158,6 +158,11 @@ def maskgen_main(argv=None):
     ap.add_argument("--seg-stride", type=int, default=2,
                     help="segmentation subsample stride; use 1 for small "
                          "frames so min-size objects survive")
+    ap.add_argument("--seg-fx", type=float, default=None,
+                    help="camera focal length (px, full resolution): "
+                         "enables the head-on depth-continuity RAG merge "
+                         "(texture bands painted on one smooth surface "
+                         "re-fuse regardless of color)")
     ap.add_argument("--captioner", choices=("color", "hf"), default="color",
                     help="'color' = ColorNameCaptioner (weights-free), "
                          "'hf' = transformers BLIP from --captioner-model")
@@ -169,7 +174,7 @@ def maskgen_main(argv=None):
     frames = RawFrames(args.scene_dir, args.format,
                        args.depth_scale, args.max_depth)
     segmenter = GraphSegmenter(k=args.seg_k, min_size=args.seg_min_size,
-                               stride=args.seg_stride)
+                               stride=args.seg_stride, fx=args.seg_fx)
     captioner = (
         enc.HFCaptioner(args.captioner_model, crop_pad=args.crop_pad)
         if args.captioner == "hf" else enc.ColorNameCaptioner()

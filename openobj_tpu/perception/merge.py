@@ -224,36 +224,46 @@ def second_stage_mapping(
     # pure function of the cluster index — evaluate once, not per pair
     bg_of = [_bg_id_of(i) for i in range(n)]
 
-    def bg_id_of(i):
-        return bg_of[i]
+    # TRANSITIVE closure over the merge relation (deliberate deviation
+    # from the reference, mask_graph.py:855-887, which assigns ids
+    # pairwise in index order: when pair (i, j) merges but j already
+    # holds an id from an earlier pair, the reference gives i a FRESH id
+    # and the chain breaks. Measured failure: an orbit's front-half and
+    # back-half clusters of one box, bridged by two top-face strip
+    # clusters — chain 4~5, 5~7, 7~6 — came out as TWO objects, halving
+    # that instance's mIoU in the touching-boxes stress archetype. The
+    # merge gates are pairwise-symmetric, so connected components are
+    # the only order-independent reading of them.) Background-anchored
+    # clusters never participate — reserved ids must not absorb objects.
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in range(n):
+        if bg_of[i] is not None:
+            continue
+        for j in range(i + 1, n):
+            if bg_of[j] is None and merge[i, j]:
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[rj] = ri
 
     mapping: dict[int, int] = {}
     counter = 4
+    root_id: dict[int, int] = {}
     for i in range(n):
-        for j in range(i + 1, n):
-            bi = bg_id_of(i)
-            if bi is not None:
-                mapping[keys[i]] = bi
-                continue
-            bj = bg_id_of(j)
-            if bj is not None:
-                mapping[keys[j]] = bj
-                continue
-            if merge[i, j]:
-                if keys[i] not in mapping:
-                    mapping[keys[i]] = counter
-                    counter += 1
-                if keys[j] not in mapping:
-                    mapping[keys[j]] = mapping[keys[i]]
-    # singletons keep checking bg too (loop above skips i==n-1 pairs edge)
-    for i in range(n):
-        if keys[i] not in mapping:
-            bi = bg_id_of(i)
-            if bi is not None:
-                mapping[keys[i]] = bi
-            else:
-                mapping[keys[i]] = counter
-                counter += 1
+        if bg_of[i] is not None:
+            mapping[keys[i]] = bg_of[i]
+            continue
+        r = find(i)
+        if r not in root_id:
+            root_id[r] = counter
+            counter += 1
+        mapping[keys[i]] = root_id[r]
     mapping[JUNK_ID] = 0
     return mapping, counter
 

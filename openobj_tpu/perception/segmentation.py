@@ -111,7 +111,10 @@ def _union_find_segment(n_px: int, edges_a, edges_b, weights, k: float,
 
 def _rag_merge(labels: np.ndarray, ea, eb, cd, dd, col_flat: np.ndarray,
                theta_color: float, theta_depth: float,
-               max_iters: int = 4) -> np.ndarray:
+               max_iters: int = 4,
+               jump=None, nb_slope=None, zmin=None, fx: float | None = None,
+               contig_px: float = 0.35, headon_px: float = 0.25,
+               headon_frac: float = 0.3) -> np.ndarray:
     """Region-adjacency merge pass: fuse neighboring components whose
     shared boundary has MEDIAN color distance < ``theta_color`` AND
     MEDIAN depth discontinuity < ``theta_depth`` AND whose region MEAN
@@ -144,9 +147,50 @@ def _rag_merge(labels: np.ndarray, ea, eb, cd, dd, col_flat: np.ndarray,
     sliver's mean color is far from both pure parents, so the mean test
     kills exactly the bridge while same-surface fragments (identical
     means) and shading-varied real surfaces (means average out) pass.
+
+    A second, color-INDEPENDENT branch (enabled when ``fx`` is given)
+    merges TEXTURE BANDS: region chains whose shared seams are HEAD-ON
+    DEPTH-CONTINUOUS — among seam edges viewed head-on (neighboring
+    per-pixel slope below ``headon_px`` x the pixel's world footprint
+    dx = z/fx), the median slope-compensated jump is below ``contig_px``
+    x dx, with head-on edges >= ``headon_frac`` of the seam (and >= 4).
+    Stripes/checker painted ON one smooth surface produce fragments
+    whose seams are geometrically seamless — zero-thickness color
+    regions are texture, not objects. Measured separations that set the
+    constants (perception stress matrix, 96x72, dx ~ 37 mm): stripe-band
+    seams median jump 0-8 mm (~0.2 dx, MERGE) vs boxes in exact contact
+    21-26 mm (~0.6 dx, KEEP, their faces are offset), sphere-on-table
+    contact 27 mm (KEEP), tangency 155 mm (KEEP). The head-on gate is
+    what makes the rule safe near silhouettes: at a curved object's limb
+    the grazing slope "explains" the occlusion step (slope-compensated
+    jump ~ 0 against the wall behind!), but those limb edges all fail
+    the head-on test — without the gate this branch would weld objects
+    into their backgrounds.
+
+    Continuity alone cannot tell a stripe band from a book lying flat
+    on a desk (both are zero-thickness color patches on a smooth
+    surface; only semantics differ), so the branch additionally demands
+    COLOR REPETITION: candidate pairs form components, and a component
+    merges only if it has >= 3 regions AND two NON-ADJACENT regions
+    with near-equal mean colors (< theta_color). A striped/checkered
+    surface alternates a small palette — the repeat is structural and
+    skips a band; a single flush object never repeats (component of 2),
+    and distinct-colored touching objects have no repeat at all
+    (measured: pure pairwise continuity welded the touching-boxes
+    archetype 0.828 -> 0.346 before this gate; per-frame fragment seams
+    occasionally dip under any threshold). Non-adjacency matters: one
+    object's own front+top fragments share a color but also share a
+    seam — they must not count as the repeat that licenses welding a
+    neighboring object in. Known residual cost, documented: two same-
+    flat objects on one surface read as texture and merge — that
+    disambiguation takes appearance priors this weights-free path does
+    not have (the reference buys them with CropFormer's learned
+    weights, mask_gen.py:231-367).
+
     Iterated to fixpoint: merging two fragments pools their boundaries
     and size-weights their means for the next round."""
     labels = labels.copy()
+    do_contig = fx is not None and jump is not None and contig_px > 0
     for _ in range(max_iters):
         la, lb = labels[ea], labels[eb]
         m = la != lb
@@ -166,6 +210,10 @@ def _rag_merge(labels: np.ndarray, ea, eb, cd, dd, col_flat: np.ndarray,
         order = np.argsort(key, kind="stable")
         key_s = key[order]
         cd_s, dd_s = cd[m][order], dd[m][order]
+        if do_contig:
+            jp_s = jump[m][order]
+            dx_s = zmin[m][order] / float(fx)       # pixel world footprint
+            ho_s = (nb_slope[m][order] < headon_px * dx_s) & (dx_s > 0)
         uniq, starts = np.unique(key_s, return_index=True)
         ends = np.append(starts[1:], len(key_s))
         merged = False
@@ -177,18 +225,72 @@ def _rag_merge(labels: np.ndarray, ea, eb, cd, dd, col_flat: np.ndarray,
                 x = parent[x]
             return x
 
+        contig_pairs: list[tuple[int, int]] = []
+        adjacent: set[tuple[int, int]] = set()
         for kk, s, e in zip(uniq, starts, ends):
             ia, ib = int(kk // base), int(kk % base)
+            adjacent.add((ia, ib))
             mean_d = float(np.sqrt(
                 ((means[pos[ia]] - means[pos[ib]]) ** 2).mean()
             ))
-            if (mean_d < theta_color
-                    and float(np.median(cd_s[s:e])) < theta_color
-                    and float(np.median(dd_s[s:e])) < theta_depth):
+            ok = (mean_d < theta_color
+                  and float(np.median(cd_s[s:e])) < theta_color
+                  and float(np.median(dd_s[s:e])) < theta_depth)
+            if not ok and do_contig:
+                ho = ho_s[s:e]
+                n_ho = int(ho.sum())
+                if (n_ho >= 4 and n_ho >= headon_frac * (e - s)
+                        and float(np.median(jp_s[s:e][ho])) < (
+                            contig_px * float(np.median(dx_s[s:e][ho])))):
+                    contig_pairs.append((ia, ib))
+            if ok:
                 pa, pb = find(ia), find(ib)
                 if pa != pb:
                     parent[pb] = pa
                     merged = True
+        if contig_pairs:
+            # color-repetition gate (docstring): group the continuity
+            # candidates, merge only components with a structural repeat
+            cpar: dict[int, int] = {}
+
+            def cfind(x):
+                while cpar.get(x, x) != x:
+                    cpar[x] = cpar.get(cpar[x], cpar[x])
+                    x = cpar[x]
+                return x
+
+            for ia, ib in contig_pairs:
+                ra2, rb2 = cfind(ia), cfind(ib)
+                if ra2 != rb2:
+                    cpar[rb2] = ra2
+            comps: dict[int, list[int]] = {}
+            members = {r for p in contig_pairs for r in p}
+            for r in members:
+                comps.setdefault(cfind(r), []).append(r)
+            for comp in comps.values():
+                if len(comp) < 3:
+                    continue
+                repeat = False
+                for xi in range(len(comp)):
+                    for yi in range(xi + 1, len(comp)):
+                        u, v = comp[xi], comp[yi]
+                        if (min(u, v), max(u, v)) in adjacent:
+                            continue
+                        du = float(np.sqrt(
+                            ((means[pos[u]] - means[pos[v]]) ** 2).mean()
+                        ))
+                        if du < theta_color:
+                            repeat = True
+                            break
+                    if repeat:
+                        break
+                if repeat:
+                    r0 = comp[0]
+                    for r in comp[1:]:
+                        pa, pb = find(r0), find(r)
+                        if pa != pb:
+                            parent[pb] = pa
+                            merged = True
         if not merged:
             break
         lut = {r: find(r) for r in np.unique(labels).tolist()}
@@ -220,8 +322,16 @@ def felzenszwalb_rgbd(
     texture_window: int = 2,
     texture_grad: float = 0.10,
     texture_frac: float = 0.25,
+    fx: float | None = None,
+    contig_px: float = 0.35,
 ) -> np.ndarray:
     """Segment one (sub-sampled) RGB-D frame -> int label image [H, W].
+
+    ``fx`` (the focal length of THIS image, i.e. already divided by any
+    subsampling stride) enables the head-on depth-continuity merge in
+    the RAG pass (texture bands painted on one smooth surface re-fuse
+    regardless of color; see _rag_merge). None = off. ``contig_px`` is
+    its jump threshold in pixel-world-footprint units.
 
     ``slope_tol`` scales the slope-proportional depth tolerance: an edge
     whose slope-compensated jump stays below slope_tol x the neighboring
@@ -360,8 +470,10 @@ def felzenszwalb_rgbd(
             za = zmap[sl_a].reshape(-1)
             zb = zmap[sl_b].reshape(-1)
             valid = (za > 0) & (zb > 0)
+            zmn = np.where(valid, np.minimum(za, zb), 0.0)
             tol = np.maximum(rel_depth * np.minimum(za, zb),
                              slope_tol * nb_slope.reshape(-1))
+            jp = np.where(valid, jump.reshape(-1), np.inf)
             dd = np.where(valid, np.minimum(
                 jump.reshape(-1) / np.maximum(tol, 1e-6), 1.0), 0.0)
             # max, not a convex blend: either cue alone asserts a
@@ -370,27 +482,36 @@ def felzenszwalb_rgbd(
             # early-stage k/|C|) — with the local-mean texture guard on cd
             # the raw-color veto is safe to restore to full strength
             wgt = np.where(valid, np.maximum(cd, depth_weight * dd), cd)
+            nbs = nb_slope.reshape(-1)
         else:
             dd = np.zeros_like(cd)
             wgt = cd
-        return a, b, wgt, cd_raw, dd
+            jp = np.full_like(cd, np.inf)
+            nbs = np.zeros_like(cd)
+            zmn = np.zeros_like(cd)
+        return a, b, wgt, cd_raw, dd, jp, nbs, zmn
 
-    ar, br, wr, cr, dr = edge_set(
+    ar, br, wr, cr, dr, jr, nr, zr = edge_set(
         np.s_[:, :-1], np.s_[:, 1:], jump_h, nb_h, axis=1)
-    ad, bd, wd, cdn, ddn = edge_set(
+    ad, bd, wd, cdn, ddn, jdn, ndn, zdn = edge_set(
         np.s_[:-1, :], np.s_[1:, :], jump_v, nb_v, axis=0)
     ea = np.concatenate([ar, ad])
     eb = np.concatenate([br, bd])
     ws = np.concatenate([wr, wd])
     cds = np.concatenate([cr, cdn])
     dds = np.concatenate([dr, ddn])
+    jps = np.concatenate([jr, jdn])
+    nbs = np.concatenate([nr, ndn])
+    zms = np.concatenate([zr, zdn])
     order = np.argsort(ws, kind="stable")
     labels = _union_find_segment(
         h * w, ea[order], eb[order], ws[order], k, min_size
     )
     if merge_color > 0 and merge_depth > 0:
         labels = _rag_merge(labels, ea, eb, cds, dds, col.reshape(-1, 3),
-                            merge_color, merge_depth)
+                            merge_color, merge_depth,
+                            jump=jps, nb_slope=nbs, zmin=zms, fx=fx,
+                            contig_px=contig_px)
     return labels.reshape(h, w)
 
 
@@ -412,7 +533,8 @@ class GraphSegmenter:
                  stride: int = 2, max_masks: int = 64,
                  slope_tol: float = 3.0, merge_color: float = 0.12,
                  merge_depth: float = 0.30, texture_window: int = 2,
-                 texture_grad: float = 0.10, texture_frac: float = 0.25):
+                 texture_grad: float = 0.10, texture_frac: float = 0.25,
+                 fx: float | None = None, contig_px: float = 0.35):
         self.k = k
         self.min_size = min_size
         self.depth_weight = depth_weight
@@ -425,6 +547,10 @@ class GraphSegmenter:
         self.texture_window = texture_window
         self.texture_grad = texture_grad
         self.texture_frac = texture_frac
+        # full-resolution focal length; scaled by stride at call time.
+        # Enables the head-on depth-continuity (texture-band) RAG merge.
+        self.fx = fx
+        self.contig_px = contig_px
 
     def __call__(self, rgb: np.ndarray, depth: np.ndarray | None = None):
         h, w = rgb.shape[:2]
@@ -436,6 +562,8 @@ class GraphSegmenter:
             self.depth_weight, self.rel_depth, self.slope_tol,
             self.merge_color, self.merge_depth, self.texture_window,
             self.texture_grad, self.texture_frac,
+            fx=None if self.fx is None else self.fx / s,
+            contig_px=self.contig_px,
         )
         if s > 1:   # nearest-neighbor upsample back to [H, W]
             labels = labels.repeat(s, 0)[:h].repeat(s, 1)[:, :w]

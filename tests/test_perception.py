@@ -157,6 +157,45 @@ class TestMerge:
         assert mapping[12] != mapping[10]
         assert mapping[graph.JUNK_ID] == 0
 
+    def test_second_stage_transitive_chain(self, rng):
+        """A ~ B and B ~ C must put A, B, C in ONE object even when A and
+        C themselves never overlap (deliberate deviation from the
+        reference's pairwise index-order assignment, which breaks the
+        chain — measured: an orbit's front-half and back-half clusters of
+        one box, bridged by its top-face strips, came out as two
+        objects). Regression for the touching-boxes archetype."""
+        f = _unit(rng.normal(size=384))
+        c = _unit(np.abs(rng.normal(size=96)))
+        # A and C disjoint slabs; B overlaps both heavily
+        a = rng.uniform(0.0, 1.0, (300, 3)) * [1, 1, 0.01]
+        cpc = a + [0, 0, 1.0]
+        b = np.concatenate([a, cpc])
+        pcs = {20: a, 21: cpc, 22: b}
+        caps = {k: f for k in pcs}
+        cols = {k: c for k in pcs}
+        mapping, _ = merge.second_stage_mapping(
+            pcs, caps, cols, bg_feats={}, weight_pc=0.6,
+            weight_caption=0.3, weight_color=0.6,
+        )
+        assert mapping[20] == mapping[21] == mapping[22]
+
+    def test_second_stage_bg_never_absorbed_into_chain(self, rng):
+        """A background-anchored cluster overlapping an object chain must
+        keep its reserved id and must NOT pull the objects to it."""
+        wall = _unit(rng.normal(size=384))
+        f_obj = _unit(rng.normal(size=384))
+        c = _unit(np.abs(rng.normal(size=96)))
+        a = rng.uniform(0, 1, (300, 3))
+        pcs = {7: a, 8: a + 0.001, 9: a + 0.002}
+        caps = {7: f_obj, 8: f_obj, 9: wall}
+        cols = {k: c for k in pcs}
+        mapping, _ = merge.second_stage_mapping(
+            pcs, caps, cols, bg_feats={"wall": wall[None]},
+            weight_pc=0.6, weight_caption=0.3, weight_color=0.6,
+        )
+        assert mapping[9] == 1
+        assert mapping[7] == mapping[8] >= 4
+
     def test_bg_caption_reserved_ids(self, rng):
         wall = _unit(rng.normal(size=384))
         f_obj = _unit(rng.normal(size=384))

@@ -232,6 +232,65 @@ class TestGraphSegmenter:
         gt = np.zeros((h, w), bool); gt[10:30, 20:45] = True
         assert self._best_iou(masks, gt) > 0.85
 
+    def test_striped_object_heals_with_intrinsics(self):
+        """A striped (red/yellow/red/yellow) box face in front of a far
+        wall: without intrinsics the color edges split it into bands;
+        with fx given, the head-on depth-continuity + color-repetition
+        merge re-fuses the bands into one entity while the box-wall
+        occlusion step keeps the box separate from the wall."""
+        from openobj_tpu.perception.segmentation import GraphSegmenter
+
+        h, w = 60, 80
+        rgb = np.full((h, w, 3), 170, np.uint8)
+        depth = np.full((h, w), 3.0, np.float32)
+        gt = np.zeros((h, w), bool)
+        gt[12:48, 20:60] = True
+        depth[gt] = 1.2
+        for i, y0 in enumerate(range(12, 48, 9)):     # 4 bands, 9 px each
+            rgb[y0:y0 + 9, 20:60] = (
+                [210, 40, 40] if i % 2 == 0 else [230, 210, 40])
+        split_masks, _ = GraphSegmenter(stride=1, min_size=20)(rgb, depth)
+        heal_masks, _ = GraphSegmenter(stride=1, min_size=20, fx=60.0)(
+            rgb, depth)
+        assert self._best_iou(split_masks, gt) < 0.6    # bands split it
+        assert self._best_iou(heal_masks, gt) > 0.9     # repetition heals
+
+    def test_flush_book_still_splits_with_intrinsics(self):
+        """The book-flat-on-a-desk case must survive the texture-band
+        merge: a single flush color patch has no color repetition
+        (component of 2), so it keeps its identity even though its seam
+        is perfectly depth-continuous."""
+        from openobj_tpu.perception.segmentation import GraphSegmenter
+
+        h, w = 40, 60
+        rgb = np.full((h, w, 3), 120, np.uint8)
+        rgb[10:30, 20:45] = [230, 220, 30]
+        depth = np.full((h, w), 1.2, np.float32)
+        masks, _ = GraphSegmenter(stride=1, min_size=20, fx=60.0)(rgb, depth)
+        gt = np.zeros((h, w), bool)
+        gt[10:30, 20:45] = True
+        assert self._best_iou(masks, gt) > 0.85
+
+    def test_touching_offset_boxes_still_split_with_intrinsics(self):
+        """Two different-colored boxes in image-contact whose front faces
+        are offset ~25 mm in depth: the offset exceeds the continuity
+        threshold (0.35 x pixel footprint) and there is no color repeat,
+        so they stay two entities."""
+        from openobj_tpu.perception.segmentation import GraphSegmenter
+
+        h, w = 40, 60
+        rgb = np.full((h, w, 3), 150, np.uint8)
+        depth = np.full((h, w), 3.0, np.float32)
+        rgb[10:30, 10:30] = [210, 50, 50]
+        depth[10:30, 10:30] = 1.2
+        rgb[10:30, 30:50] = [50, 60, 210]
+        depth[10:30, 30:50] = 1.225
+        masks, _ = GraphSegmenter(stride=1, min_size=20, fx=60.0)(rgb, depth)
+        g1 = np.zeros((h, w), bool); g1[10:30, 10:30] = True
+        g2 = np.zeros((h, w), bool); g2[10:30, 30:50] = True
+        assert self._best_iou(masks, g1) > 0.85
+        assert self._best_iou(masks, g2) > 0.85
+
     def test_invalid_depth_falls_back_to_color(self):
         from openobj_tpu.perception.segmentation import GraphSegmenter
 
