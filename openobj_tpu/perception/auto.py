@@ -110,6 +110,11 @@ def run_auto_perception(cfg) -> None:
         # exact contact overlap ~0.03 (measured both ways) and the color/
         # caption gates still apply — 0.4 heals splits with ~10x margin
         weight_pc=0.4,
+        # part-of contact tier: same-caption clusters in contact whose
+        # footprint nests merge (table legs <-> top measured overlap
+        # 0.024, caption cos 1.0; objects resting ON the table are
+        # blocked at caption cos 0.667 — merge.second_stage_mapping)
+        contact_pc=0.02,
     )
     ypath = os.path.join(root, "assoc_generated.yaml")
     with open(ypath, "w") as f:

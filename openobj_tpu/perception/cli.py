@@ -260,6 +260,8 @@ def _assoc_config_from_yaml(y: dict) -> pipeline.AssociationConfig:
         weight_pc=float(y["weight_pc"]),
         weight_caption=float(y["weightcaption"]),
         weight_color=float(y["weightcolor"]),
+        contact_pc=float(y.get("contact_pc", 0.0)),
+        contact_cap=float(y.get("contact_cap", 0.9)),
         gt_bg_ids=gt_bg,
     )
 

@@ -187,10 +187,30 @@ def second_stage_mapping(
     cap_thre: float = 0.8, dis_thre: float = 0.02,
     weight_pc: float = 0.7, weight_caption: float = 0.7, weight_color: float = 0.7,
     forced_bg: dict | None = None,
+    contact_pc: float = 0.0, contact_cap: float = 0.9, up_axis: int = 2,
 ):
     """compute_similarity_matrix_thre parity (mask_graph.py:820-895).
     ``forced_bg`` maps cluster_id -> reserved id (1/2/3), taking precedence
     over caption anchoring (used by the geometric bg path, classify_bg_hull).
+
+    ``contact_pc`` > 0 enables a PART-OF tier beyond the reference: two
+    clusters also merge when they are in contact (point-overlap above
+    ``contact_pc`` — far below ``weight_pc``), their captions are
+    near-identical (> ``contact_cap``, stricter than ``weight_caption``),
+    their colors pass the usual gate, AND the smaller cluster's
+    footprint (the two non-``up_axis`` extents) lies inside the larger's
+    (5%-expanded). This is a weights-free stand-in for whole-object
+    entity masks: a table's legs are separate per-frame components —
+    their seam to the top is a genuine occlusion boundary from above —
+    yet they are the same material and stand inside the top's footprint
+    (measured: leg-top overlap 0.024, caption cos 1.0, vs sphere/torus
+    resting ON the table at caption cos 0.667 — blocked by the caption
+    gate; two same-colored objects side by side have disjoint footprints
+    — blocked by containment). Known residual cost: a same-captioned
+    object standing on and within a larger one (a brown cushion centered
+    on a brown sofa) reads as a part — that call takes learned
+    objectness (reference: CropFormer, mask_gen.py:231-367).
+
     Returns (mapping {cluster_id: final_id}, next_free_id)."""
     keys = list(pcs.keys())
     n = len(keys)
@@ -212,6 +232,33 @@ def second_stage_mapping(
     merge = (
         (sim_pc > weight_pc) & (sim_cap > weight_caption) & (sim_col > weight_color)
     ) | (sim_pc > 0.9)
+
+    if contact_pc > 0:
+        ax = [a for a in range(3) if a != up_axis]
+        boxes = [
+            (pc[:, ax].min(0), pc[:, ax].max(0)) if len(pc) else None
+            for pc in pc_l
+        ]
+
+        def _contained(si, sj):
+            """smaller-footprint cluster inside the larger's footprint
+            (expanded by 5% of its extent per side)"""
+            if boxes[si] is None or boxes[sj] is None:
+                return False
+            (lo_i, hi_i), (lo_j, hi_j) = boxes[si], boxes[sj]
+            if np.prod(hi_i - lo_i) > np.prod(hi_j - lo_j):
+                (lo_i, hi_i), (lo_j, hi_j) = (lo_j, hi_j), (lo_i, hi_i)
+            pad = 0.05 * (hi_j - lo_j)
+            return bool(np.all(lo_i >= lo_j - pad)
+                        and np.all(hi_i <= hi_j + pad))
+
+        for i in range(n):
+            for j in range(i + 1, n):
+                if (not merge[i, j] and sim_pc[i, j] > contact_pc
+                        and sim_cap[i, j] > contact_cap
+                        and sim_col[i, j] > weight_color
+                        and _contained(i, j)):
+                    merge[i, j] = merge[j, i] = True
 
     def _bg_id_of(i):
         if forced_bg and keys[i] in forced_bg:

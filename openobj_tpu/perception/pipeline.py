@@ -55,6 +55,10 @@ class AssociationConfig:
     weight_pc: float = 0.6
     weight_caption: float = 0.3
     weight_color: float = 0.6
+    # part-of contact tier in the second-stage merge (0 = off; see
+    # merge.second_stage_mapping docstring — heals table legs etc.)
+    contact_pc: float = 0.0
+    contact_cap: float = 0.9
     min_component_px: int = 100
     dbscan_min_points: int = 100
     dbscan_eps: float = 0.05    # scale with pixel footprint: ~2 * depth / fx
@@ -176,6 +180,8 @@ def associate(
         cap_thre=cfg.cap_thre, dis_thre=cfg.dis_thre,
         weight_pc=cfg.weight_pc, weight_caption=cfg.weight_caption,
         weight_color=cfg.weight_color, forced_bg=forced_bg,
+        contact_pc=cfg.contact_pc, contact_cap=cfg.contact_cap,
+        up_axis=cfg.geo_bg_up_axis,
     )
     final_ids = [
         [mapping.get(c, 0) for c in fids] for fids in per_frame_ids

@@ -196,6 +196,38 @@ class TestMerge:
         assert mapping[9] == 1
         assert mapping[7] == mapping[8] >= 4
 
+    def test_second_stage_contact_part_of_tier(self, rng):
+        """contact_pc > 0: a leg-like cluster (thin column, in contact,
+        same caption/color, footprint nested inside the big cluster's)
+        merges; a same-contact cluster with a DIFFERENT caption (an
+        object resting on the table) and a same-caption cluster OUTSIDE
+        the footprint (adjacent furniture) both stay separate."""
+        f_tab = _unit(rng.normal(size=384))
+        f_obj = _unit(rng.normal(size=384))
+        c = _unit(np.abs(rng.normal(size=96)))
+        # table top: thin slab z ~ 0, footprint [0,1]x[0,1]
+        top = rng.uniform(0, 1, (600, 3)) * [1, 1, 0.02]
+        # leg: thin column inside the footprint, touching the top
+        leg = rng.uniform(0, 1, (200, 3)) * [0.06, 0.06, 0.5] + [0.2, 0.2, 0.0]
+        # resting object: same contact geometry, different caption
+        ball = rng.uniform(0, 1, (200, 3)) * [0.1, 0.1, 0.1] + [0.6, 0.6, -0.1]
+        # neighbor: same caption, in contact at the edge, footprint OUTSIDE
+        nb = rng.uniform(0, 1, (300, 3)) * [0.5, 1, 0.02] + [1.0, 0, 0]
+        pcs = {1: top, 2: leg, 3: ball, 4: nb}
+        caps = {1: f_tab, 2: f_tab, 3: f_obj, 4: f_tab}
+        cols = {k: c for k in pcs}
+        kw = dict(bg_feats={}, dis_thre=0.05, weight_pc=0.4,
+                  weight_caption=0.3, weight_color=0.6,
+                  contact_pc=0.02, contact_cap=0.9, up_axis=2)
+        mapping, _ = merge.second_stage_mapping(pcs, caps, cols, **kw)
+        assert mapping[2] == mapping[1]          # leg joins the top
+        assert mapping[3] != mapping[1]          # resting object does not
+        assert mapping[4] != mapping[1]          # adjacent furniture does not
+        # tier off -> reference behavior: leg stays separate
+        kw["contact_pc"] = 0.0
+        mapping0, _ = merge.second_stage_mapping(pcs, caps, cols, **kw)
+        assert mapping0[2] != mapping0[1]
+
     def test_bg_caption_reserved_ids(self, rng):
         wall = _unit(rng.normal(size=384))
         f_obj = _unit(rng.normal(size=384))
