@@ -75,6 +75,97 @@ def run_archetype(name, h, w, n_frames, keep=None):
     return score
 
 
+def _scene_config(root, w, h, fx, fy, cx, cy, iters, stride, n_models=16):
+    """Train-CLI JSON config at the archetype camera (schema as the
+    reference cfg.py consumes it; values from the fixture e2e test)."""
+    return {
+        "dataset": {"live": 0, "path": root, "format": "Replica",
+                    "keep_alive": 20},
+        "optimizer": {"args": {"lr": 0.001, "weight_decay": 0.013}},
+        "trainer": {"part_mode": 0, "part_down": 5, "imap_mode": 0,
+                    "start": 0, "stride": stride, "do_bg": 1,
+                    "n_models": n_models, "scale": 1000.0},
+        "render": {"depth_range": [0.0, 8.0], "n_bins": 9,
+                   "n_bins_cam2surface": 1, "n_bins_cam2surface_bg": 5,
+                   "iters_per_frame": iters, "n_per_optim": 120,
+                   "n_per_optim_bg": 240},
+        "model": {"n_unidir_funcs": 5, "obj_scale": 2.0, "bg_scale": 5.0,
+                  "color_scaling": 5.0, "opacity_scaling": 10.0,
+                  "surface_eps": 0.1, "other_eps": 0.05,
+                  "keyframe_buffer_size": 8, "keyframe_step": 25,
+                  "keyframe_step_bg": 50, "window_size": 2,
+                  "window_size_bg": 2, "hidden_feature_size": 32,
+                  "hidden_feature_size_bg": 32,
+                  "clip_point_feature_size": 8},
+        "camera": {"w": w, "h": h, "fx": fx, "fy": fy, "cx": cx, "cy": cy,
+                   "mw": 0, "mh": 0},
+        "vis": {"if_vis": 0, "if_ckpt": 1, "if_render": 1, "if_obj": 1,
+                "save_pcd": 0, "save_mesh": 1, "bg_id": [0, 2, 3],
+                "n_vis_iter": 9999, "eps_fine_vis": 0.1,
+                "n_bins_fine_vis": 10, "grid_dim": 32,
+                "live_voxel_size": 0.02},
+    }
+
+
+def run_archetype_full(name, h, w, n_frames, assoc_score, iters=100,
+                       stride=10):
+    """Full-system scorecard: the association artifacts produced by
+    run_archetype already sit in ``assoc_score['root']`` — train the
+    fields on them (run_scenes: train -> export -> eval), then score the
+    RENDERED instance maps against the held-aside GT (regenerated
+    analytically at the rendered frame indices — the stages never saw
+    it). Measures the whole system: segmentation -> association ->
+    field training -> rendering."""
+    import glob
+    import re
+
+    import cv2
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    import run_scenes
+
+    from openobj_tpu.data import synthetic
+    from openobj_tpu.eval import matched_instance_miou
+    from openobj_tpu.ops import sampling
+
+    root = assoc_score["root"]
+    fx = fy = 0.65 * w
+    cx, cy = w / 2.0, h / 2.0
+    cfg_dir = os.path.join(root, "sys_configs")
+    os.makedirs(cfg_dir, exist_ok=True)
+    with open(os.path.join(cfg_dir, f"{name}.json"), "w") as f:
+        json.dump(_scene_config(root, w, h, fx, fy, cx, cy, iters, stride),
+                  f)
+    out = os.path.join(root, "sys_runs")
+    run_scenes.main([cfg_dir, "--out", out, "--eval", "--n-classes", "32",
+                     "--perception", "auto"])
+    summary = json.load(open(os.path.join(out, "summary.json")))[name]
+    if summary.get("status") != "ok":
+        return {"error": summary.get("status", "failed")}
+
+    render_dir = os.path.join(out, name, "render")
+    frames = sorted(
+        int(re.search(r"inst_(\d+)\.png$", p).group(1))
+        for p in glob.glob(os.path.join(render_dir, "inst_*.png"))
+    )
+    scene, orbit = synthetic.archetype_scene(name)
+    dirs = np.asarray(sampling.camera_ray_dirs(w, h, fx, fy, cx, cy))
+    pred_maps, gt_maps = [], []
+    for i in frames:
+        p = cv2.imread(os.path.join(render_dir, f"inst_{i}.png"),
+                       cv2.IMREAD_UNCHANGED)
+        pred_maps.append(p.astype(np.int32))
+        t_wc = synthetic.orbit_pose(2 * np.pi * i / n_frames, **orbit)
+        _, _, inst = scene.render(t_wc, dirs)
+        gt_maps.append(inst.astype(np.int32))
+    score = matched_instance_miou(pred_maps, gt_maps)
+    score["n_gt_instances"] = len(score["per_gt_iou"])
+    score["psnr"] = summary["eval"].get("psnr")
+    score["depth_l1"] = summary["eval"].get("depth_l1")
+    score["frames_scored"] = frames
+    return score
+
+
 def main(argv=None):
     from openobj_tpu.data.synthetic import ARCHETYPES
 
@@ -87,6 +178,13 @@ def main(argv=None):
                     help="keep scene dirs under this root (debugging)")
     ap.add_argument("--only", nargs="*", default=None,
                     help="subset of archetypes")
+    ap.add_argument("--full", action="store_true",
+                    help="also train/render each archetype and score the "
+                         "RENDERED instance maps + PSNR vs held-aside GT "
+                         "(full-system scorecard)")
+    ap.add_argument("--iters", type=int, default=100,
+                    help="--full: optimizer steps per frame "
+                         "(100 = reference budget)")
     args = ap.parse_args(argv)
     w, h = args.size
 
@@ -108,6 +206,23 @@ def main(argv=None):
             f"per-gt { {k: round(v, 2) for k, v in s['per_gt_iou'].items()} }",
             flush=True,
         )
+        if args.full:
+            try:
+                fs = run_archetype_full(name, h, w, args.frames, s,
+                                        iters=args.iters)
+            except Exception as e:  # noqa: BLE001 — matrix keeps going
+                fs = {"error": f"{type(e).__name__}: {e}"}
+            s["full_system"] = fs
+            if "error" in fs:
+                print(f"{name:10s}  FULL ERROR {fs['error']}", flush=True)
+            else:
+                print(
+                    f"{name:10s}  FULL rendered inst_mIoU "
+                    f"{fs['inst_miou']:.3f}   psnr {fs['psnr']:.1f}   "
+                    f"depth_l1 {fs['depth_l1']:.3f}   per-gt "
+                    f"{ {k: round(v, 2) for k, v in fs['per_gt_iou'].items()} }",
+                    flush=True,
+                )
     if args.out:
         with open(args.out, "w") as f:
             json.dump(rows, f, indent=2, default=str)
@@ -115,6 +230,13 @@ def main(argv=None):
     if ok:
         mean = float(np.mean([r["inst_miou"] for r in ok]))
         print(f"\nmatrix mean inst_mIoU over {len(ok)} archetypes: {mean:.3f}")
+    full_ok = [r["full_system"] for r in rows.values()
+               if "inst_miou" in r.get("full_system", {})]
+    if full_ok:
+        fmean = float(np.mean([r["inst_miou"] for r in full_ok]))
+        pmean = float(np.mean([r["psnr"] for r in full_ok]))
+        print(f"full-system mean rendered inst_mIoU {fmean:.3f}, "
+              f"mean PSNR {pmean:.1f} dB over {len(full_ok)} archetypes")
     return rows
 
 
