@@ -380,13 +380,54 @@ def archetype_scene(name: str):
     raise KeyError(f"unknown archetype {name!r}; have {ARCHETYPES}")
 
 
+def apply_sensor_noise(rgb, depth, rng, level: float = 1.0):
+    """Kinect-class RGB-D sensor noise for robustness stress (applied to
+    the rendered images only — GT instance maps stay clean).
+
+    Depth: axial Gaussian with sigma(z) = 1.2 mm + 1.9 mm * (z - 0.4)^2
+    — the structured-light noise model of Khoshelham & Elberink 2012
+    (~6 mm at 2 m), scaled by ``level``; plus occlusion-boundary dropout:
+    structured-light/ToF sensors lose returns where local depth relief is
+    large (projector shadowing, mixed pixels) — pixels whose 3x3 depth
+    range exceeds 8 cm go invalid (0) with probability 0.25*level. The
+    uint16-mm write quantizes to 1 mm downstream. RGB: additive Gaussian,
+    sigma = 3*level counts.
+
+    ``level`` 1.0 ~ a real Kinect at these ranges; 2-3 = stress."""
+    z = np.asarray(depth, np.float64)
+    sigma = (0.0012 + 0.0019 * np.square(np.clip(z, 0.4, None) - 0.4))
+    zn = np.where(z > 0, z + rng.normal(size=z.shape) * sigma * level, 0.0)
+    zn = np.clip(zn, 0.0, None)
+    # occlusion-boundary detector: |z - median(3x3)| is ~0 on any PLANAR
+    # ramp however steep (median of a linear ramp = its center), and
+    # ~the step size for the minority side at a discontinuity — a raw
+    # min/max relief test would instead fire on every slanted surface at
+    # coarse resolutions (pixel footprint ~z/fx)
+    zp = np.pad(z, 1, mode="edge")
+    sh = [zp[dy:dy + z.shape[0], dx:dx + z.shape[1]]
+          for dy in range(3) for dx in range(3)]
+    zmed = np.median(sh, axis=0)
+    drop = (np.abs(z - zmed) > 0.05) \
+        & (rng.random(z.shape) < min(0.9, 0.25 * level))
+    zn = np.where(drop, 0.0, zn)
+    rgbn = np.clip(
+        rgb.astype(np.float64) + rng.normal(size=rgb.shape) * 3.0 * level,
+        0, 255,
+    ).astype(np.uint8)
+    return rgbn, zn
+
+
 def write_raw_scene(root, scene, dirs_c, n_frames: int = 40,
                     orbit_kwargs: dict | None = None, assoc_stride: int = 10,
-                    gt_dir: str = "gt_instance", depth_scale: float = 1e-3):
+                    gt_dir: str = "gt_instance", depth_scale: float = 1e-3,
+                    noise_level: float = 0.0, noise_seed: int = 7):
     """Write a RAW scene directory (rgb/, depth/, traj_w_c.txt — exactly
     what a sensor provides) plus held-aside GT instance maps under
     ``gt_dir`` (one per assoc frame, uint16) for scoring association
-    output the perception stages never saw. Returns the list of GT maps."""
+    output the perception stages never saw. Returns the list of GT maps.
+
+    ``noise_level`` > 0 passes every written frame through
+    ``apply_sensor_noise`` (GT maps stay clean)."""
     import os
 
     import cv2
@@ -395,10 +436,14 @@ def write_raw_scene(root, scene, dirs_c, n_frames: int = 40,
     for d in ("rgb", "depth", gt_dir):
         os.makedirs(os.path.join(root, d), exist_ok=True)
     poses, gt_maps = [], []
+    rng_noise = np.random.default_rng(noise_seed) if noise_level else None
     for i in range(n_frames):
         t_wc = orbit_pose(2 * np.pi * i / n_frames, **ok)
         poses.append(t_wc.reshape(-1))
         rgb, depth, inst = scene.render(t_wc, dirs_c)
+        if rng_noise is not None:
+            rgb, depth = apply_sensor_noise(rgb, depth, rng_noise,
+                                            noise_level)
         cv2.imwrite(os.path.join(root, "rgb", f"rgb_{i}.png"),
                     cv2.cvtColor(rgb, cv2.COLOR_RGB2BGR))
         cv2.imwrite(os.path.join(root, "depth", f"depth_{i}.png"),

@@ -102,6 +102,34 @@ class GlobalClusters:
         return pcs, caps, cols
 
 
+def estimate_depth_noise(depth_maps, quantile: float = 0.75) -> float:
+    """Robust per-scene depth-noise sigma at SHELL range (the far
+    surfaces the bg hull test cares about), estimated from the depth
+    maps themselves: the horizontal second difference z[i-1] - 2 z[i] +
+    z[i+1] is exactly 0 on any linear ramp (planar structure at any
+    slant contributes nothing), has variance 6 sigma^2 on iid noise, and
+    occlusion steps land in the tail that the median ignores. Restricted
+    to pixels in the top depth ``quantile`` because structured-light /
+    ToF noise grows ~quadratically with range — the near-field estimate
+    would understate the noise where the walls are. Returns ~0 on clean
+    (quantized) depth."""
+    sigs = []
+    for z in depth_maps:
+        z = np.asarray(z, np.float64)
+        if z.shape[1] < 3:
+            continue
+        d2 = z[:, 2:] - 2.0 * z[:, 1:-1] + z[:, :-2]
+        zc = z[:, 1:-1]
+        valid = (z[:, 2:] > 0) & (zc > 0) & (z[:, :-2] > 0)
+        if not valid.any():
+            continue
+        far = zc >= np.quantile(zc[valid], quantile)
+        sel = valid & far
+        if sel.sum() >= 100:
+            sigs.append(1.4826 * np.median(np.abs(d2[sel])) / np.sqrt(6.0))
+    return float(np.median(sigs)) if sigs else 0.0
+
+
 def classify_bg_hull(
     points: np.ndarray,
     scene_aabb: np.ndarray,          # [6] (min_xyz, max_xyz) of ALL clusters
@@ -110,6 +138,7 @@ def classify_bg_hull(
     frac_required: float = 0.75,
     min_extent: float = 2.0,
     cam_up_range: tuple[float, float] | None = None,
+    noise_sigma: float = 0.0,
 ) -> str | None:
     """Geometric background classification — the weights-free stand-in for
     the reference's caption anchoring (mask_graph.py:1111-1135, which needs
@@ -133,20 +162,33 @@ def classify_bg_hull(
     failing the height check fall back to 'wall' only if vertical-ish,
     else None. Returns the reserved name or None. Opt-in via
     AssociationConfig.geo_bg; the caption path stays the default whenever
-    real captions are available."""
+    real captions are available.
+
+    ``noise_sigma`` (estimate_depth_noise) widens the shell: under
+    sensor noise a wall's points spread ~N(0, sigma) around the true
+    plane AND the scene AABB itself sits ~2-3 sigma outside it (it is a
+    max over noisy samples), so the effective tolerance becomes
+    max(shell_tol, 7 * noise_sigma) — ~2.6 sigma for the AABB offset +
+    ~4 sigma of point spread (measured on the Kinect-model stress:
+    wall near-fraction at sigma~40 mm is 0.37 @ 0.10 m but 0.98 @
+    0.30 m). Capped at 15% of the scene's largest extent so noise can
+    never widen the shell into the room's interior; interior-object
+    rejection still rides frac_required + min_extent."""
     if len(points) < 10:
         return None
     pts = np.asarray(points, np.float64)
     lo, hi = np.asarray(scene_aabb[:3]), np.asarray(scene_aabb[3:])
     if float((pts.max(0) - pts.min(0)).max()) < min_extent:
         return None
+    tol = max(shell_tol,
+              min(7.0 * noise_sigma, 0.15 * float((hi - lo).max())))
     # distance to each of the 6 faces: (axis, min-side) then (axis, max-side)
     d_lo = pts - lo[None, :]                 # [N, 3] distance to min faces
     d_hi = hi[None, :] - pts                 # [N, 3] distance to max faces
     d_all = np.concatenate([d_lo, d_hi], 1)  # [N, 6]
     nearest = np.argmin(d_all, 1)
     d_min = d_all[np.arange(len(pts)), nearest]
-    near = d_min < shell_tol
+    near = d_min < tol
     if near.mean() < frac_required:
         return None
     votes = nearest[near]

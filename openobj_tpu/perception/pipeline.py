@@ -159,7 +159,17 @@ def associate(
     forced_bg: dict[int, int] = {}
     if cfg.geo_bg and pcs:
         all_pts = np.concatenate([p for p in pcs.values() if len(p)])
-        scene_aabb = np.concatenate([all_pts.min(0), all_pts.max(0)])
+        # percentile AABB: under sensor noise the min/max AABB is a max
+        # over ~1e5 noisy samples (~4 sigma out); 0.2/99.8 percentiles
+        # keep it ~2.9 sigma out, which the hull test's noise-widened
+        # shell accounts for (classify_bg_hull docstring)
+        scene_aabb = np.concatenate([
+            np.percentile(all_pts, 0.2, axis=0),
+            np.percentile(all_pts, 99.8, axis=0),
+        ])
+        noise_sigma = merge.estimate_depth_noise(
+            [fr.depth for fr in frames]
+        )
         cam_up = np.asarray(
             [fr.t_wc[cfg.geo_bg_up_axis, 3] for fr in frames], np.float64
         )
@@ -170,6 +180,7 @@ def associate(
                 shell_tol=cfg.geo_bg_shell_tol,
                 min_extent=cfg.geo_bg_min_extent,
                 cam_up_range=cam_up_range,
+                noise_sigma=noise_sigma,
             )
             if name is not None:
                 forced_bg[cid] = merge.RESERVED[name]

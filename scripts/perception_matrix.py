@@ -32,7 +32,7 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 
-def run_archetype(name, h, w, n_frames, keep=None):
+def run_archetype(name, h, w, n_frames, keep=None, noise=0.0):
     import cv2
 
     from openobj_tpu.config import SceneConfig
@@ -52,7 +52,7 @@ def run_archetype(name, h, w, n_frames, keep=None):
     os.makedirs(root, exist_ok=True)
     gt_maps = synthetic.write_raw_scene(
         root, scene, dirs, n_frames=n_frames, orbit_kwargs=orbit,
-        assoc_stride=keyframe_skip(n_frames),
+        assoc_stride=keyframe_skip(n_frames), noise_level=noise,
     )
 
     cfg = SceneConfig(
@@ -118,11 +118,9 @@ def run_archetype_full(name, h, w, n_frames, assoc_score, iters=100,
     field training -> rendering."""
     import glob
     import re
+    import subprocess
 
     import cv2
-
-    sys.path.insert(0, os.path.dirname(__file__))
-    import run_scenes
 
     from openobj_tpu.data import synthetic
     from openobj_tpu.eval import matched_instance_miou
@@ -137,8 +135,19 @@ def run_archetype_full(name, h, w, n_frames, assoc_score, iters=100,
         json.dump(_scene_config(root, w, h, fx, fy, cx, cy, iters, stride),
                   f)
     out = os.path.join(root, "sys_runs")
-    run_scenes.main([cfg_dir, "--out", out, "--eval", "--n-classes", "32",
-                     "--perception", "auto"])
+    # train in a SUBPROCESS so it runs on the default backend (the real
+    # TPU when tunneled) — this parent process force-pinned jax to CPU
+    # for the host-side perception stages, and that choice is sticky
+    # per-process
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "run_scenes.py"),
+         cfg_dir, "--out", out, "--eval", "--n-classes", "32",
+         "--perception", "auto"],
+        env=env, check=True,
+    )
     summary = json.load(open(os.path.join(out, "summary.json")))[name]
     if summary.get("status") != "ok":
         return {"error": summary.get("status", "failed")}
@@ -185,6 +194,9 @@ def main(argv=None):
     ap.add_argument("--iters", type=int, default=100,
                     help="--full: optimizer steps per frame "
                          "(100 = reference budget)")
+    ap.add_argument("--noise", type=float, default=0.0,
+                    help="sensor-noise level (synthetic.apply_sensor_noise;"
+                         " 1.0 ~ a real Kinect, GT stays clean)")
     args = ap.parse_args(argv)
     w, h = args.size
 
@@ -193,7 +205,8 @@ def main(argv=None):
     for name in names:
         keep = os.path.join(args.keep, name) if args.keep else None
         try:
-            s = run_archetype(name, h, w, args.frames, keep=keep)
+            s = run_archetype(name, h, w, args.frames, keep=keep,
+                              noise=args.noise)
         except Exception as e:  # noqa: BLE001 — matrix keeps going
             rows[name] = {"error": f"{type(e).__name__}: {e}"}
             print(f"{name:10s}  ERROR {rows[name]['error']}", flush=True)
