@@ -561,6 +561,17 @@ def train_frame(
             "gemm_impl='merged_params' is an XLA-path layout; the pallas "
             "field kernel consumes the reference param layout"
         )
+    if pre_merged and (
+        "color_linear" not in state.fg_params["mlp"]
+        or "clip_linear" not in state.fg_params["mlp"]
+    ):
+        # fail fast at trace time with a config-level message instead of a
+        # NotImplementedError from merge_mlp_params mid-frame
+        raise ValueError(
+            "gemm_impl='merged_params' requires param trees built with both "
+            "color and clip heads (do_color=do_clip=True); use "
+            "gemm_impl='merged' for headless trees"
+        )
     if pre_merged:
         # ONE layout conversion per frame (outside the scan) buys 100
         # concat-free optimizer steps; converted back before returning so

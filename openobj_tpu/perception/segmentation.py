@@ -293,8 +293,13 @@ def _rag_merge(labels: np.ndarray, ea, eb, cd, dd, col_flat: np.ndarray,
                             merged = True
         if not merged:
             break
-        lut = {r: find(r) for r in np.unique(labels).tolist()}
-        labels = np.vectorize(lambda x: lut.get(x, x))(labels)
+        # vectorized remap: labels are union-find roots, so a dense
+        # unique->inverse pass + one ndarray LUT lookup replaces the
+        # per-pixel Python lambda (np.vectorize) that dominated merge
+        # iterations at full resolution
+        uniq, inv = np.unique(labels, return_inverse=True)
+        lut = np.asarray([find(int(r)) for r in uniq], dtype=labels.dtype)
+        labels = lut[inv].reshape(labels.shape)
     return labels
 
 

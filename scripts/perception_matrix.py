@@ -229,11 +229,17 @@ def main(argv=None):
             if "error" in fs:
                 print(f"{name:10s}  FULL ERROR {fs['error']}", flush=True)
             else:
+                # eval fields may be None (summary['eval'] misses); render
+                # them as n/a instead of raising outside the try/except
+                def _fmt(v, spec):
+                    return format(v, spec) if v is not None else "n/a"
+
                 print(
                     f"{name:10s}  FULL rendered inst_mIoU "
-                    f"{fs['inst_miou']:.3f}   psnr {fs['psnr']:.1f}   "
-                    f"depth_l1 {fs['depth_l1']:.3f}   per-gt "
-                    f"{ {k: round(v, 2) for k, v in fs['per_gt_iou'].items()} }",
+                    f"{_fmt(fs.get('inst_miou'), '.3f')}   "
+                    f"psnr {_fmt(fs.get('psnr'), '.1f')}   "
+                    f"depth_l1 {_fmt(fs.get('depth_l1'), '.3f')}   per-gt "
+                    f"{ {k: round(v, 2) for k, v in fs.get('per_gt_iou', {}).items()} }",
                     flush=True,
                 )
     if args.out:
@@ -247,9 +253,10 @@ def main(argv=None):
                if "inst_miou" in r.get("full_system", {})]
     if full_ok:
         fmean = float(np.mean([r["inst_miou"] for r in full_ok]))
-        pmean = float(np.mean([r["psnr"] for r in full_ok]))
+        psnrs = [r["psnr"] for r in full_ok if r.get("psnr") is not None]
+        ptxt = f"{float(np.mean(psnrs)):.1f} dB" if psnrs else "n/a"
         print(f"full-system mean rendered inst_mIoU {fmean:.3f}, "
-              f"mean PSNR {pmean:.1f} dB over {len(full_ok)} archetypes")
+              f"mean PSNR {ptxt} over {len(full_ok)} archetypes")
     return rows
 
 
