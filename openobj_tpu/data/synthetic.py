@@ -115,7 +115,9 @@ class Box:
 
     def intersect(self, o, d):
         ol, dl = self._local(o, d)
-        inv = 1.0 / np.where(np.abs(dl) < 1e-12, 1e-12, dl)
+        # sign-preserving clamp: replacing a tiny NEGATIVE component with
+        # +1e-12 would swap the near/far slab roles for axis-parallel rays
+        inv = 1.0 / np.where(np.abs(dl) < 1e-12, np.copysign(1e-12, dl), dl)
         t1 = (-self.half - ol) * inv
         t2 = (self.half - ol) * inv
         t_near = np.minimum(t1, t2).max(axis=1)
@@ -212,7 +214,7 @@ class SyntheticScene:
         o = np.broadcast_to(o, d.shape)
 
         # room: from inside a box, take the exit (max) slab intersection
-        inv = 1.0 / np.where(np.abs(d) < 1e-12, 1e-12, d)
+        inv = 1.0 / np.where(np.abs(d) < 1e-12, np.copysign(1e-12, d), d)
         t_lo = (-self.room.half_extent - o) * inv
         t_hi = (self.room.half_extent - o) * inv
         t_exit = np.minimum.reduce([np.maximum(t_lo, t_hi)[:, i] for i in range(3)])
@@ -380,7 +382,8 @@ def archetype_scene(name: str):
     raise KeyError(f"unknown archetype {name!r}; have {ARCHETYPES}")
 
 
-def apply_sensor_noise(rgb, depth, rng, level: float = 1.0):
+def apply_sensor_noise(rgb, depth, rng, level: float = 1.0,
+                       fx: float | None = None):
     """Kinect-class RGB-D sensor noise for robustness stress (applied to
     the rendered images only — GT instance maps stay clean).
 
@@ -389,32 +392,93 @@ def apply_sensor_noise(rgb, depth, rng, level: float = 1.0):
     (~6 mm at 2 m), scaled by ``level``; plus occlusion-boundary dropout:
     structured-light/ToF sensors lose returns where local depth relief is
     large (projector shadowing, mixed pixels) — pixels whose 3x3 depth
-    range exceeds 8 cm go invalid (0) with probability 0.25*level. The
-    uint16-mm write quantizes to 1 mm downstream. RGB: additive Gaussian,
-    sigma = 3*level counts.
+    range exceeds 8 cm go invalid (0) with probability 0.25*level; plus
+    grazing-incidence dropout when ``fx`` is given: pixels whose depth
+    slope implies the surface is > ~76 deg off the ray (|grad z| * fx / z
+    > 4, i.e. tan of the incidence angle) lose returns with probability
+    0.5*level — the stretched-speckle/low-return regime of structured
+    light. The uint16-mm write quantizes to 1 mm downstream.
+
+    RGB: additive Gaussian (sigma = 3*level counts) under a per-frame
+    exposure gain (lognormal, sigma 6%*level) and per-channel white-
+    balance gains (lognormal, sigma 3%*level) — auto-exposure/AWB flicker
+    that breaks "colors are constant across frames" assumptions.
 
     ``level`` 1.0 ~ a real Kinect at these ranges; 2-3 = stress."""
     z = np.asarray(depth, np.float64)
     sigma = (0.0012 + 0.0019 * np.square(np.clip(z, 0.4, None) - 0.4))
     zn = np.where(z > 0, z + rng.normal(size=z.shape) * sigma * level, 0.0)
     zn = np.clip(zn, 0.0, None)
-    # occlusion-boundary detector: |z - median(3x3)| is ~0 on any PLANAR
-    # ramp however steep (median of a linear ramp = its center), and
-    # ~the step size for the minority side at a discontinuity — a raw
+    # occlusion-boundary detector: the 1D second difference
+    # |z - (left+right)/2| is ~0 on any PLANAR ramp however steep (a
+    # linear ramp's center is its neighbor average) and ~half the step
+    # size at a discontinuity. (A 3x3-median test fails here: on a
+    # STRAIGHT step edge each pixel's window holds a 6-of-9 majority of
+    # its own side, so the median equals the pixel and never fires; a raw
     # min/max relief test would instead fire on every slanted surface at
-    # coarse resolutions (pixel footprint ~z/fx)
+    # coarse resolutions, where the pixel footprint ~z/fx is cm-scale.)
     zp = np.pad(z, 1, mode="edge")
-    sh = [zp[dy:dy + z.shape[0], dx:dx + z.shape[1]]
-          for dy in range(3) for dx in range(3)]
-    zmed = np.median(sh, axis=0)
-    drop = (np.abs(z - zmed) > 0.05) \
+    lap_x = np.abs(z - 0.5 * (zp[1:-1, :-2] + zp[1:-1, 2:]))
+    lap_y = np.abs(z - 0.5 * (zp[:-2, 1:-1] + zp[2:, 1:-1]))
+    drop = (np.maximum(lap_x, lap_y) > 0.05) \
         & (rng.random(z.shape) < min(0.9, 0.25 * level))
+    if fx is not None:
+        # grazing incidence: one pixel subtends z/fx meters laterally, so
+        # |grad z| * fx / z approximates tan(angle between surface and the
+        # viewing ray's normal plane); > 4 ~ 76 deg. Gate on the MIN of the
+        # two one-sided x/y differences so occlusion steps (one-sided by
+        # construction) don't double-count — they're handled above.
+        gy_f = np.abs(np.diff(z, axis=0, append=z[-1:, :]))
+        gy_b = np.abs(np.diff(z, axis=0, prepend=z[:1, :]))
+        gx_f = np.abs(np.diff(z, axis=1, append=z[:, -1:]))
+        gx_b = np.abs(np.diff(z, axis=1, prepend=z[:, :1]))
+        slope = np.maximum(np.minimum(gy_f, gy_b), np.minimum(gx_f, gx_b))
+        tan_inc = slope * fx / np.clip(z, 0.4, None)
+        drop |= (tan_inc > 4.0) & (rng.random(z.shape)
+                                   < min(0.9, 0.5 * level))
     zn = np.where(drop, 0.0, zn)
+    exposure = np.exp(rng.normal(0.0, 0.06 * level))
+    wb = np.exp(rng.normal(0.0, 0.03 * level, size=3))
     rgbn = np.clip(
-        rgb.astype(np.float64) + rng.normal(size=rgb.shape) * 3.0 * level,
+        rgb.astype(np.float64) * (exposure * wb)[None, None, :]
+        + rng.normal(size=rgb.shape) * 3.0 * level,
         0, 255,
     ).astype(np.uint8)
     return rgbn, zn
+
+
+def perturb_pose(t_wc: np.ndarray, rng, level: float = 1.0,
+                 drift: np.ndarray | None = None):
+    """SLAM-grade pose error: the WRITTEN trajectory differs from the pose
+    the frame was actually rendered with. Per-frame jitter (sigma 3 mm
+    translation / 0.15 deg rotation, x level) composed onto a slowly
+    random-walking drift (sigma 1 mm / 0.05 deg per frame, x level) —
+    tracking error is autocorrelated, not white. Returns (perturbed pose,
+    new drift 6-vector [rx ry rz tx ty tz])."""
+    if drift is None:
+        drift = np.zeros(6)
+    drift = drift + np.concatenate([
+        rng.normal(0.0, np.deg2rad(0.05) * level, 3),
+        rng.normal(0.0, 0.001 * level, 3),
+    ])
+    jitter = np.concatenate([
+        rng.normal(0.0, np.deg2rad(0.15) * level, 3),
+        rng.normal(0.0, 0.003 * level, 3),
+    ])
+    err = drift + jitter
+
+    def _rot(v):
+        ang = np.linalg.norm(v)
+        if ang < 1e-12:
+            return np.eye(3)
+        k = v / ang
+        kx = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+        return np.eye(3) + np.sin(ang) * kx + (1 - np.cos(ang)) * (kx @ kx)
+
+    t = np.array(t_wc, np.float64)
+    t[:3, :3] = _rot(err[:3]) @ t[:3, :3]
+    t[:3, 3] = t[:3, 3] + err[3:]
+    return t, drift
 
 
 def write_raw_scene(root, scene, dirs_c, n_frames: int = 40,
@@ -427,7 +491,10 @@ def write_raw_scene(root, scene, dirs_c, n_frames: int = 40,
     output the perception stages never saw. Returns the list of GT maps.
 
     ``noise_level`` > 0 passes every written frame through
-    ``apply_sensor_noise`` (GT maps stay clean)."""
+    ``apply_sensor_noise`` (GT maps stay clean) AND perturbs the WRITTEN
+    trajectory with ``perturb_pose`` (autocorrelated SLAM-style error:
+    frames are rendered at the true pose, the traj file lies by a few mm
+    and ~0.1-0.2 deg — what a real tracked sequence hands downstream)."""
     import os
 
     import cv2
@@ -437,13 +504,21 @@ def write_raw_scene(root, scene, dirs_c, n_frames: int = 40,
         os.makedirs(os.path.join(root, d), exist_ok=True)
     poses, gt_maps = [], []
     rng_noise = np.random.default_rng(noise_seed) if noise_level else None
+    # pixel-footprint scale for grazing-incidence dropout: dirs use the
+    # z=1 convention, so one column step is 1/fx in x
+    fx_eff = float(1.0 / max(abs(dirs_c[0, 1, 0] - dirs_c[0, 0, 0]), 1e-9))
+    drift = None
     for i in range(n_frames):
         t_wc = orbit_pose(2 * np.pi * i / n_frames, **ok)
-        poses.append(t_wc.reshape(-1))
+        t_written = t_wc
+        if rng_noise is not None:
+            t_written, drift = perturb_pose(t_wc, rng_noise, noise_level,
+                                            drift)
+        poses.append(np.asarray(t_written).reshape(-1))
         rgb, depth, inst = scene.render(t_wc, dirs_c)
         if rng_noise is not None:
             rgb, depth = apply_sensor_noise(rgb, depth, rng_noise,
-                                            noise_level)
+                                            noise_level, fx=fx_eff)
         cv2.imwrite(os.path.join(root, "rgb", f"rgb_{i}.png"),
                     cv2.cvtColor(rgb, cv2.COLOR_RGB2BGR))
         cv2.imwrite(os.path.join(root, "depth", f"depth_{i}.png"),

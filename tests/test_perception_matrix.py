@@ -226,3 +226,102 @@ class TestTextureGuard:
         interior = lab_off[14:26, 24:36]
         # raw color fragments the stripes into multiple bands
         assert len(np.unique(interior)) > 2
+
+
+class TestSensorNoise:
+    """The noise tier's physics: z^2-scaled depth sigma, boundary +
+    grazing dropout, exposure/WB jitter, autocorrelated pose error
+    (synthetic.apply_sensor_noise / perturb_pose)."""
+
+    def _flat(self, z0=2.0, h=60, w=80):
+        rgb = np.full((h, w, 3), 128, np.uint8)
+        depth = np.full((h, w), z0)
+        return rgb, depth
+
+    def test_depth_sigma_grows_quadratically(self):
+        rng = np.random.default_rng(0)
+        sig = {}
+        for z0 in (1.0, 3.0):
+            _, d = self._flat(z0, 200, 200)
+            _, dn = synthetic.apply_sensor_noise(self._flat(z0)[0][:0], d,
+                                                 rng)  # rgb unused shape ok
+            sig[z0] = float(np.std(dn[dn > 0] - z0))
+        # model: 1.2mm + 1.9mm*(z-0.4)^2 -> ~1.9mm @1m, ~14.1mm @3m
+        assert 0.0012 < sig[1.0] < 0.004
+        assert 0.009 < sig[3.0] < 0.02
+
+    def test_occlusion_boundary_holes(self):
+        rng = np.random.default_rng(0)
+        rgb, depth = self._flat(2.0)
+        depth[:, 40:] = 3.0  # 1 m step edge at column 40
+        _, dn = synthetic.apply_sensor_noise(rgb, depth, rng, level=2.0)
+        edge_holes = (dn[:, 38:42] == 0).mean()
+        interior_holes = (dn[:, 5:30] == 0).mean()
+        assert edge_holes > 0.1
+        assert interior_holes < 0.01
+
+    def test_grazing_incidence_holes_need_fx(self):
+        rng = np.random.default_rng(0)
+        h, w, fx = 30, 40, 200.0
+        rgb = np.full((h, w, 3), 128, np.uint8)
+        # constant ~80-deg incidence: dz/dcol = 5.5 * z/fx everywhere
+        # (exponential in column, since the footprint grows with z)
+        col = np.arange(w)
+        depth = 2.0 * np.exp(5.5 * col / fx)[None, :] * np.ones((h, 1))
+        _, dn_nofx = synthetic.apply_sensor_noise(rgb, depth.copy(), rng,
+                                                  level=1.0)
+        rng = np.random.default_rng(0)
+        _, dn_fx = synthetic.apply_sensor_noise(rgb, depth.copy(), rng,
+                                                level=1.0, fx=fx)
+        # median-based boundary test ignores planar ramps; grazing term
+        # (fx-aware) drops a large fraction
+        assert (dn_nofx == 0).mean() < 0.02
+        assert (dn_fx == 0).mean() > 0.2
+
+    def test_exposure_and_wb_jitter_changes_frames_differently(self):
+        rng = np.random.default_rng(3)
+        rgb, depth = self._flat()
+        m = []
+        for _ in range(6):
+            rn, _ = synthetic.apply_sensor_noise(rgb, depth, rng, level=2.0)
+            m.append(rn.reshape(-1, 3).mean(axis=0))
+        m = np.stack(m)
+        # per-frame gains: frame means spread well beyond additive noise
+        assert m.mean(axis=0).std() < 20
+        assert m.std(axis=0).max() > 1.5
+
+    def test_pose_perturbation_small_and_autocorrelated(self):
+        rng = np.random.default_rng(5)
+        t = synthetic.orbit_pose(0.4)
+        drift = None
+        errs = []
+        for _ in range(30):
+            tp, drift = synthetic.perturb_pose(t, rng, 1.0, drift)
+            errs.append(np.linalg.norm(tp[:3, 3] - t[:3, 3]))
+            r = tp[:3, :3] @ t[:3, :3].T
+            ang = np.degrees(np.arccos(np.clip((np.trace(r) - 1) / 2, -1, 1)))
+            assert ang < 2.0  # rotations stay sub-2-degree over 30 frames
+        errs = np.asarray(errs)
+        assert errs.max() < 0.05           # translation stays sub-5cm
+        # random walk: late-window error exceeds early-window error on
+        # average (autocorrelated drift, not white jitter)
+        assert errs[20:].mean() > errs[:5].mean() * 0.5
+
+    def test_gt_maps_stay_clean_and_traj_is_perturbed(self, tmp_path):
+        from openobj_tpu.ops import sampling
+
+        w, h = 32, 24
+        dirs = np.asarray(
+            sampling.camera_ray_dirs(w, h, 0.65 * w, 0.65 * w, w / 2, h / 2)
+        )
+        scene, orbit = synthetic.archetype_scene("spheres")
+        root = str(tmp_path)
+        synthetic.write_raw_scene(root, scene, dirs, n_frames=4,
+                                  orbit_kwargs=orbit, assoc_stride=2,
+                                  noise_level=1.0)
+        traj = np.loadtxt(root + "/traj_w_c.txt")
+        clean = [synthetic.orbit_pose(2 * np.pi * i / 4, **orbit).reshape(-1)
+                 for i in range(4)]
+        deltas = [np.abs(traj[i] - clean[i]).max() for i in range(4)]
+        assert max(deltas) > 1e-5   # traj lies
+        assert max(deltas) < 0.05   # ...by millimetres, not metres
