@@ -113,6 +113,13 @@ def main():
     import jax
 
     from openobj_tpu.core import trainer
+    from openobj_tpu.utils.compcache import enable_persistent_cache
+
+    # persistent compilation cache: compile_s was pure cold-compile
+    # overhead every round (29.6 -> 34.4 -> 54.7 s as the program grew);
+    # warm starts serve the executable from .cache/jax (<10 s). The JSON
+    # reports entries_before so cold vs warm is visible in the record.
+    cache_info = enable_persistent_cache()
 
     state, store, cam_dirs, fg_tables, bg_tables, cfg = build_envelope()
 
@@ -185,6 +192,9 @@ def main():
                 "detail": {
                     "sec_per_frame": round(sec_per_frame, 4),
                     "compile_s": round(compile_s, 1),
+                    "compilation_cache_dir": cache_info["dir"],
+                    "compilation_cache_entries_before":
+                        cache_info["entries_before"],
                     "rays_per_frame": rays_per_frame,
                     "point_evals_per_frame": rays_per_frame * 10,
                     "objects": N_ACTIVE_OBJECTS,

@@ -354,6 +354,13 @@ def main(argv=None):
                         help="per-object render bin counts (density anchored "
                              "at the largest object, bucketed static sizes); "
                              "composes with --render-two-pass")
+    parser.add_argument("--compilation-cache", default=None, metavar="DIR",
+                        help="persistent XLA compilation cache dir (default "
+                             "<repo>/.cache/jax or $OPENOBJ_COMPILATION_CACHE"
+                             "; pass '0' to disable). Warm starts skip the "
+                             "tens-of-seconds frame-program compile; "
+                             "multi-scene runs reuse entries across scenes "
+                             "at matching shape buckets")
     parser.add_argument("--resume", action="store_true",
                         help="resume from <logdir>/scene_state.npz (full "
                              "training state incl. optimizer — the reference "
@@ -370,6 +377,12 @@ def main(argv=None):
 
     reset_stats()  # timing.json must cover THIS run only (multi-scene
     # drivers reuse worker threads, so the thread-local dict persists)
+    from openobj_tpu.utils.compcache import enable_persistent_cache
+
+    cache_info = enable_persistent_cache(args.compilation_cache)
+    if cache_info["dir"]:
+        print(f"compilation cache: {cache_info['dir']} "
+              f"({cache_info['entries_before']} entries)")
     if args.prng != "threefry":
         import jax
 
