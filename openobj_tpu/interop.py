@@ -140,9 +140,11 @@ def reference_state_dicts_to_params(fc_state: dict, pe_state: dict) -> dict:
     return {"pe": {"dirs": dirs, "scale": scale}, "mlp": mlp_params}
 
 
-def params_to_reference_state_dicts(params: dict):
+def params_to_reference_state_dicts(params: dict, dtype=np.float32):
     """Our {"pe", "mlp"} param pytree -> (FC_state_dict, PE_state_dict)
-    of torch tensors in the reference's key layout."""
+    of torch tensors in the reference's key layout. ``dtype`` defaults to
+    the reference's float32; float64 preserves full precision for the
+    bit-level parity harness (scripts/reference_twin.py --grad-check)."""
     import torch
 
     fc = {}
@@ -151,16 +153,18 @@ def params_to_reference_state_dicts(params: dict):
             continue
         layer = params["mlp"][our_key]
         fc[f"{ref_key}.weight"] = torch.from_numpy(
-            np.array(np.asarray(layer["w"], np.float32).T, copy=True)
+            np.array(np.asarray(layer["w"], dtype).T, copy=True)
         )
         fc[f"{ref_key}.bias"] = torch.from_numpy(
-            np.asarray(layer["b"], np.float32).copy()
+            np.asarray(layer["b"], dtype).copy()
         )
     pe = {
         "B_layer.weight": torch.from_numpy(
-            np.asarray(params["pe"]["dirs"], np.float32).copy()
+            np.asarray(params["pe"]["dirs"], dtype).copy()
         ),
-        "scale": torch.tensor(float(np.asarray(params["pe"]["scale"]))),
+        "scale": torch.from_numpy(
+            np.asarray(params["pe"]["scale"], dtype).reshape(()).copy()
+        ),
     }
     return fc, pe
 
