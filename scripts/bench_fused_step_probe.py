@@ -3,27 +3,35 @@
 docs/PERFORMANCE.md names ONE unbuilt structural lever: "fewer/bigger
 fusions per step or a fused step kernel". Whether any fused-step design can
 pay on this stack reduces to a small set of measurable questions — this
-script measures them BEFORE committing to a ~1000-line kernel:
+script measures them BEFORE committing to a ~1000-line kernel. VERDICT
+(measured 2026-08, v5e via the axon tunnel — full reading in
+docs/PERFORMANCE.md "Fused-step kernel" section): the kernel LOSES.
 
   Q1. Does Mosaic lower a BATCHED dot_general (ensemble GEMM
-      [B,N,K]x[B,K,h]) at XLA-like efficiency, or does it serialize per
-      batch element at the measured ~0.7 us/matmul issue cost?
-      (XLA's batched ensemble GEMMs run at ~69 TFLOPS f32 — the kernel
-      only pays if its GEMM path is comparable, because the win it chases
-      is the per-fusion 5-30 us launch floor, not GEMM time.)
-  Q2. What does an EMPTY steps-grid kernel cost per grid step with
-      object-tile-resident accumulator blocks (the weights+moments
-      residency pattern of the fused-step design)? This is the floor any
-      (obj_tiles x 100-steps) grid pays before computing anything.
-  Q3. The same grid with a representative per-step compute body (batched
-      fwd GEMM chain at the room_0 per-step shape) — the end-to-end
-      per-grid-step cost the full kernel would start from.
+      [B,N,K]x[B,K,h]) at XLA-like efficiency?
+      MEASURED: yes for ONE site — batched 1.88 us / unrolled-per-object
+      1.25 us vs XLA einsum 2.52 us (85 TFLOPS in-kernel!). But CHAINING
+      two batched dots (second operand computed, directly or routed
+      through VMEM scratch, K in {87,128,256}) crashes the Mosaic remote
+      compiler (HTTP 500 from tpu_compile_helper), and object tiles > 8
+      crash it regardless of form. The only GEMM form that beats XLA is
+      unreachable for a multi-layer kernel on this toolchain.
+  Q2. Per-grid-step floor of a (obj_tiles x steps) grid, no-op body:
+      MEASURED: 21.7 us/grid-step with the step's ray slab streamed as a
+      [1,8,1200,8] block (trailing dim 8 of 128 lanes -> 16x lane-padding;
+      14 GB/s effective = ~226 GB/s physical) vs 0.02 us with a tiny
+      block. The floor is streaming LAYOUT, not grid iteration.
+  Q3. Steps-grid with a per-object 2D fwd GEMM chain (the only form that
+      compiles), 8 tiles x 100 steps x 8 objects x 5 matmuls:
+      MEASURED: 39.9 ms/frame-equivalent (49.8 us/grid-step: ~21.7 DMA +
+      ~28 us of 40 serialized small matmuls at ~0.7 us each) — vs XLA
+      running the IDENTICAL math whole-frame in 20.75 ms. The fwd chain
+      alone already loses 2x; fwd+bwd+Adam (~26 matmul sites/object)
+      extrapolates to ~117 ms/frame vs today's 97 ms while-loop.
 
-Design arithmetic the answers feed (room_0 envelope, 64 slots, 100 steps):
-today's while loop ~0.97 ms/step = ~0.77 ms of ~108 small fusions + ~0.2 ms
-scan overhead. A fused-step kernel at tile=16 objects runs a
-(4 x 100) grid: pays 400 x (Q2 + Q3-compute); tile=64 pays 100 x but needs
->16 MB VMEM for weights+moments (doesn't fit); tile=8 pays 800 x.
+Timing: every figure via scripts/_benchlib.scan_time (the tunnel DEDUPES
+identical dispatches — naive repeat loops measure 0 ms; see the
+"0.03 ms for 134 GFLOP" trap this script fell into first).
 
 Run ON TPU:  python scripts/bench_fused_step_probe.py
 """
@@ -65,7 +73,7 @@ def timed(fn, *args, n=20, warmup=3):
 
 def _batched_dot_kernel(x_ref, w_ref, o_ref):
     o_ref[...] = jax.lax.dot_general(
-        x_ref[...], w_ref[...],
+        jnp.sin(x_ref[...]), w_ref[...],
         (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )
@@ -73,50 +81,37 @@ def _batched_dot_kernel(x_ref, w_ref, o_ref):
 
 def _unrolled_dot_kernel(x_ref, w_ref, o_ref):
     for b in range(O_TILE):
-        o_ref[b] = jnp.dot(x_ref[b], w_ref[b],
+        o_ref[b] = jnp.dot(jnp.sin(x_ref[b]), w_ref[b],
                            preferred_element_type=jnp.float32)
 
 
-def q1(reps: int = 16):
-    """Per-invocation cost of the ensemble GEMM, in-kernel vs XLA.
-
-    Each variant runs ``reps`` back-to-back GEMMs inside ONE dispatch
-    (fori_loop with a data dependence) so the tunnel's per-dispatch
-    latency amortizes out of the per-GEMM figure."""
+def q1():
+    """Per-site cost of the ensemble GEMM, in-kernel vs XLA, via the scan
+    protocol (_benchlib). Every variant computes sin(x+k) @ w — the sin
+    blocks XLA's linear-perturbation hoist (x@(w+k) folds; sin(x+k)@w
+    cannot), and is identical work across variants."""
     x = jnp.asarray(np.random.randn(O_TILE, N, K), jnp.float32)
     w = jnp.asarray(np.random.randn(O_TILE, K, H), jnp.float32)
 
-    def pallas_call(kernel):
+    def pallas_fn(kernel):
         f = pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct((O_TILE, N, H), jnp.float32),
         )
+        return lambda w, x: f(x, w)
 
-        @jax.jit
-        def run(x, w):
-            def body(_, acc):
-                y = f(x + acc[:, :1, :1] * 1e-20, w)
-                return y.mean()
-            return jax.lax.fori_loop(
-                0, reps, body, jnp.zeros((O_TILE, 1, 1)).mean())
-        return run
-
-    @jax.jit
-    def xla_run(x, w):
-        def body(_, acc):
-            y = jnp.einsum("onk,okh->onh", x + acc * 1e-20, w,
-                           preferred_element_type=jnp.float32)
-            return y.mean()
-        return jax.lax.fori_loop(0, reps, body, jnp.float32(0))
+    def xla_fn(w, x):
+        return jnp.einsum("onk,okh->onh", jnp.sin(x), w,
+                          preferred_element_type=jnp.float32)
 
     flops = 2 * O_TILE * N * K * H
     out = {}
-    for name, fn in [("pallas_batched", pallas_call(_batched_dot_kernel)),
-                     ("pallas_unrolled", pallas_call(_unrolled_dot_kernel)),
-                     ("xla_einsum", xla_run)]:
+    for name, fn in [("pallas_batched", pallas_fn(_batched_dot_kernel)),
+                     ("pallas_unrolled", pallas_fn(_unrolled_dot_kernel)),
+                     ("xla_einsum", xla_fn)]:
         try:
-            dt = timed(fn, x, w) / reps
-            out[name] = {"us_per_gemm": round(dt * 1e6, 2),
+            dt = _scan_time(fn, (w, x), iters=30)
+            out[name] = {"us_per_site": round(dt * 1e6, 2),
                          "tflops": round(flops / dt / 1e12, 2)}
         except Exception as e:  # noqa: BLE001 — report lowering failures
             out[name] = {"error": str(e).split("\n")[0][:200]}
@@ -124,93 +119,204 @@ def q1(reps: int = 16):
 
 
 # --------------------------------------------------------------------------- #
-# Q2: empty (obj_tile x steps) grid with resident accumulators
+# Q2: per-grid-step floor of a steps-grid kernel (no-op body)
 # --------------------------------------------------------------------------- #
 
 
-def q2(n_tiles: int = 4):
-    w = jnp.zeros((n_tiles, O_TILE, K, H), jnp.float32)
-    xs = jnp.zeros((STEPS, n_tiles, O_TILE, 8, K), jnp.float32)
+def _scan_time(fn, args, iters=30, reps=5):
+    import sys as _sys
+    import os as _os
 
-    def kernel(x_ref, w_ref, o_ref):
-        # touch the resident block so it isn't DCE'd; no real compute
-        o_ref[...] = w_ref[...] * 1.000001
+    _sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+    from _benchlib import scan_time
 
-    f = pl.pallas_call(
-        kernel,
-        grid=(n_tiles, STEPS),
-        in_specs=[
-            pl.BlockSpec((1, 1, O_TILE, 8, K), lambda i, j: (j, i, 0, 0, 0)),
-            pl.BlockSpec((1, O_TILE, K, H), lambda i, j: (i, 0, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, O_TILE, K, H), lambda i, j: (i, 0, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((n_tiles, O_TILE, K, H), jnp.float32),
-    )
-    jf = jax.jit(lambda x, w: f(x[:, None], w).sum())
-    dt = timed(jf, xs, w)
-    return {"grid_steps": n_tiles * STEPS,
-            "us_per_grid_step": round(dt / (n_tiles * STEPS) * 1e6, 2),
-            "ms_total": round(dt * 1e3, 3)}
+    return scan_time(fn, args, iters=iters, reps=reps)
 
 
-# --------------------------------------------------------------------------- #
-# Q3: steps-grid with a representative per-step fwd GEMM chain
-# --------------------------------------------------------------------------- #
+def q2(n_tiles: int = 8, o_tile: int = 8):
+    """No-op kernel over the (obj_tiles x steps) grid, once with the real
+    per-step ray slab streamed ([1,O,1200,8] block — the fused-step
+    design's input) and once with a tiny block. The delta is the
+    per-grid-step streaming cost; grid iteration itself is ~free."""
+    xs = jnp.zeros((STEPS, n_tiles * o_tile, N, 8), jnp.float32)
+    w0 = jnp.zeros((n_tiles * o_tile, 8, K), jnp.float32)
 
+    def noop_kernel(x, w0r, o):
+        w = w0r[...]
+        o[...] = (w[:, :1, :H] * 1.000001)[None]
 
-def q3(n_tiles: int = 4):
-    """(tiles x steps) grid; each step runs the fg fwd GEMM chain
-    (in->h, mid1, cat, mid2 at [O_TILE,N,*]) on its step slab with the
-    weight block resident. No bwd/Adam — a lower bound on the real
-    kernel's per-step cost."""
-    xs = jnp.asarray(
-        np.random.randn(STEPS, n_tiles, O_TILE, N, K) * 0.1, jnp.float32)
-    w1 = jnp.asarray(np.random.randn(n_tiles, O_TILE, K, H), jnp.float32)
-    w2 = jnp.asarray(np.random.randn(n_tiles, O_TILE, H, H), jnp.float32)
-
-    def kernel(x_ref, w1_ref, w2_ref, o_ref):
-        bd = functools.partial(
-            jax.lax.dot_general,
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
+    def make(xblock, xarr):
+        f = pl.pallas_call(
+            noop_kernel,
+            grid=(n_tiles, STEPS),
+            in_specs=[
+                pl.BlockSpec(xblock, lambda i, j: (j, i, 0, 0)),
+                pl.BlockSpec((o_tile, 8, K), lambda i, j: (i, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, o_tile, 1, H), lambda i, j: (j, i, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct(
+                (STEPS, n_tiles * o_tile, 1, H), jnp.float32),
         )
-        h1 = jax.nn.relu(bd(x_ref[0, 0], w1_ref[0]))
-        h2 = jax.nn.relu(bd(h1, w2_ref[0]))
-        h3 = jax.nn.relu(bd(h2, w2_ref[0]))
-        h4 = jax.nn.relu(bd(h3, w2_ref[0]))
-        o_ref[...] = jnp.sum(h4, axis=1, keepdims=True)[None, None]
+        return _scan_time(lambda a, x: f(x, a), (w0, xarr))
+
+    gs = n_tiles * STEPS
+    full = make((1, o_tile, N, 8), xs)
+    tiny = make((1, o_tile, 8, 8), xs[:, :, :8, :])
+    return {
+        "grid_steps": gs,
+        "us_per_grid_step_ray_slab": round(full / gs * 1e6, 2),
+        "us_per_grid_step_tiny_block": round(tiny / gs * 1e6, 2),
+        "note": "delta = lane-padded streaming of the [N,8] ray slab "
+                "(trailing dim 8 of 128 lanes)",
+    }
+
+
+# --------------------------------------------------------------------------- #
+# Q3: steps-grid with the per-object 2D fwd GEMM chain (the form that
+# compiles) vs XLA running the identical math whole-frame
+# --------------------------------------------------------------------------- #
+
+
+def q3(n_tiles: int = 8, o_tile: int = 8):
+    ot = n_tiles * o_tile
+    xs = jnp.asarray(
+        np.random.randn(STEPS, ot, N, 8) * 0.1, jnp.float32)
+    w0 = jnp.asarray(np.random.randn(ot, 8, K), jnp.float32)
+    w1 = jnp.asarray(np.random.randn(ot, K, H), jnp.float32)
+    w2 = jnp.asarray(np.random.randn(ot, H, H), jnp.float32)
+
+    def mm(a, b):
+        return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+    def kernel(x, w0r, w1r, w2r, o):
+        for b in range(o_tile):
+            e = jnp.sin(mm(x[0, b], w0r[b]))
+            h1 = jax.nn.relu(mm(e, w1r[b]))
+            h = h1
+            for _ in range(3):
+                h = jax.nn.relu(mm(h, w2r[b]))
+            o[0, b] = jnp.sum(h, axis=0, keepdims=True)
 
     f = pl.pallas_call(
         kernel,
         grid=(n_tiles, STEPS),
         in_specs=[
-            pl.BlockSpec((1, 1, O_TILE, N, K), lambda i, j: (j, i, 0, 0, 0)),
-            pl.BlockSpec((1, O_TILE, K, H), lambda i, j: (i, 0, 0, 0)),
-            pl.BlockSpec((1, O_TILE, H, H), lambda i, j: (i, 0, 0, 0)),
+            pl.BlockSpec((1, o_tile, N, 8), lambda i, j: (j, i, 0, 0)),
+            pl.BlockSpec((o_tile, 8, K), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((o_tile, K, H), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((o_tile, H, H), lambda i, j: (i, 0, 0)),
         ],
-        out_specs=pl.BlockSpec(
-            (1, 1, O_TILE, 1, H), lambda i, j: (i, j, 0, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct(
-            (n_tiles, STEPS, O_TILE, 1, H), jnp.float32),
+        out_specs=pl.BlockSpec((1, o_tile, 1, H), lambda i, j: (j, i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((STEPS, ot, 1, H), jnp.float32),
     )
-    jf = jax.jit(lambda x, a, b: f(x[:, :, None], a, b).sum())
+    gs = n_tiles * STEPS
+    out = {}
     try:
-        dt = timed(jf, xs, w1, w2, n=5)
+        per = _scan_time(lambda a, b, c, x: f(x, a, b, c), (w0, w1, w2, xs))
+        out["pallas_steps_grid"] = {
+            "ms_per_frame_equiv": round(per * 1e3, 2),
+            "us_per_grid_step": round(per / gs * 1e6, 2),
+            "grid_steps": gs,
+        }
     except Exception as e:  # noqa: BLE001
-        return {"error": str(e).split("\n")[0][:200]}
-    return {"grid_steps": n_tiles * STEPS,
-            "us_per_grid_step": round(dt / (n_tiles * STEPS) * 1e6, 2),
-            "ms_total": round(dt * 1e3, 2),
-            "note": "4-GEMM fwd chain only; real kernel adds bwd+Adam"}
+        out["pallas_steps_grid"] = {"error": str(e).split("\n")[0][:160]}
+
+    def xla_chain(a, b, c, x):
+        e = jnp.sin(jnp.einsum("sonk,okh->sonh", x, a,
+                               preferred_element_type=jnp.float32))
+        h = jax.nn.relu(jnp.einsum("sonh,ohg->song", e, b,
+                                   preferred_element_type=jnp.float32))
+        for _ in range(3):
+            h = jax.nn.relu(jnp.einsum("sonh,ohg->song", h, c,
+                                       preferred_element_type=jnp.float32))
+        return h.sum(axis=2)
+
+    perx = _scan_time(xla_chain, (w0, w1, w2, xs), iters=10)
+    out["xla_whole_frame_same_chain"] = {"ms": round(perx * 1e3, 2)}
+    return out
+
+
+# --------------------------------------------------------------------------- #
+# Q4: the compiler-crash boundary (chained batched dots; object tile size)
+# --------------------------------------------------------------------------- #
+
+
+def q4():
+    """Document which kernel forms the Mosaic remote compiler accepts.
+    Each case compiles a steps-grid kernel; 'crash' = HTTP 500 from
+    tpu_compile_helper (observed stable across ports/retries)."""
+    import functools as ft
+
+    bd = ft.partial(
+        jax.lax.dot_general,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+
+    def compile_case(o_tile, body, scratch=()):
+        xs = jnp.zeros((4, o_tile, N, 8), jnp.float32)
+        w0 = jnp.zeros((o_tile, 8, K), jnp.float32)
+        w1 = jnp.zeros((o_tile, K, H), jnp.float32)
+        f = pl.pallas_call(
+            body,
+            grid=(1, 4),
+            in_specs=[
+                pl.BlockSpec((1, o_tile, N, 8), lambda i, j: (j, i, 0, 0)),
+                pl.BlockSpec((o_tile, 8, K), lambda i, j: (i, 0, 0)),
+                pl.BlockSpec((o_tile, K, H), lambda i, j: (i, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, o_tile, 1, H), lambda i, j: (j, i, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((4, o_tile, 1, H), jnp.float32),
+            scratch_shapes=list(scratch),
+        )
+        try:
+            jax.block_until_ready(
+                jax.jit(lambda *a: f(*a).sum())(xs, w0, w1))
+            return "ok"
+        except Exception as e:  # noqa: BLE001
+            return "crash: " + str(e).split("\n")[0][:80]
+
+    def chained_batched(x, w0r, w1r, o):
+        e = jnp.sin(bd(x[0], w0r[...]))
+        h = jax.nn.relu(bd(e, w1r[...]))
+        o[...] = jnp.sum(h, axis=1, keepdims=True)[None]
+
+    def single_batched(x, w0r, w1r, o):
+        e = jnp.sin(bd(x[0], w0r[...]))
+        o[...] = jnp.sum(e[:, :, :H], axis=1, keepdims=True)[None]
+
+    def per_object_2d(x, w0r, w1r, o):
+        for b in range(x.shape[1]):
+            e = jnp.sin(jnp.dot(x[0, b], w0r[b],
+                                preferred_element_type=jnp.float32))
+            h = jax.nn.relu(jnp.dot(e, w1r[b],
+                                    preferred_element_type=jnp.float32))
+            o[0, b] = jnp.sum(h, axis=0, keepdims=True)
+
+    return {
+        "single_batched_dot_o16": compile_case(16, single_batched),
+        "chained_batched_dot_o16": compile_case(16, chained_batched),
+        "chained_batched_dot_o8": compile_case(8, chained_batched),
+        "per_object_2d_o8": compile_case(8, per_object_2d),
+        "per_object_2d_o16": compile_case(16, per_object_2d),
+    }
 
 
 if __name__ == "__main__":
+    import argparse
     import json
 
-    print("devices:", jax.devices())
-    res = {"q1_batched_dot": q1()}
-    print(json.dumps(res["q1_batched_dot"], indent=2))
-    res["q2_empty_grid"] = q2()
-    print(json.dumps(res["q2_empty_grid"], indent=2))
-    res["q3_fwd_chain_grid"] = q3()
-    print(json.dumps(res["q3_fwd_chain_grid"], indent=2))
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", nargs="*", default=None,
+                    help="subset of q1 q2 q3 q4 (remote compiles are slow; "
+                         "run sections separately when iterating)")
+    args = ap.parse_args()
+    sections = {"q1": q1, "q2": q2, "q3": q3, "q4": q4}
+    print("devices:", jax.devices(), flush=True)
+    for name, fn in sections.items():
+        if args.only and name not in args.only:
+            continue
+        print(f"== {name} ==", flush=True)
+        print(json.dumps(fn(), indent=2), flush=True)
