@@ -262,20 +262,53 @@ def _restore_registry_meta(mapper, z) -> None:
 # --------------------------------------------------------------------------- #
 
 
-def save_scene_sharded(dirpath: str, mapper) -> None:
-    """Scene snapshot via orbax: the device state is written WITHOUT a host
-    gather (each shard streams its own slice — correct and efficient when
-    the mapper is sharded over a mesh via parallel.sharding.shard_scene,
-    and multi-host-safe under jax.distributed), host registry metadata as
-    a small npz next to it. Counterpart of save_scene for scale-out runs."""
+def save_state_sharded(path: str, state) -> None:
+    """TrainState -> orbax directory WITHOUT a host gather: each shard
+    streams its own slice (correct and efficient when the state is sharded
+    over a mesh via parallel.sharding.shard_scene, multi-host-safe under
+    jax.distributed). The state-level core of save_scene_sharded; also the
+    driver multi-chip gate's checkpoint sub-check (__graft_entry__)."""
     import orbax.checkpoint as ocp
 
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), _device_state_tree(state), force=True)
+    ckptr.wait_until_finished()
+
+
+def load_state_sharded(path: str, state_template):
+    """Restore a save_state_sharded snapshot DIRECTLY INTO the template's
+    placement: each leaf lands with the template's shape/dtype/sharding, so
+    shards stream to their owning devices without a host round trip.
+    Returns a new TrainState (bg taken from the template when the snapshot
+    has none)."""
+    import orbax.checkpoint as ocp
+
+    from openobj_tpu.core import optim, trainer
+
+    template = _device_state_tree(state_template)
+    abstract = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding),
+        template,
+    )
+    ckptr = ocp.StandardCheckpointer()
+    t = ckptr.restore(os.path.abspath(path), abstract)
+    bg = "bg_params" in t
+    return trainer.TrainState(
+        fg_params=t["fg_params"],
+        fg_opt=optim.AdamWState(t["fg_mu"], t["fg_nu"], t["fg_count"]),
+        bg_params=t["bg_params"] if bg else state_template.bg_params,
+        bg_opt=optim.AdamWState(t["bg_mu"], t["bg_nu"], t["bg_count"])
+        if bg else state_template.bg_opt,
+    )
+
+
+def save_scene_sharded(dirpath: str, mapper) -> None:
+    """Scene snapshot via orbax: the device state is written WITHOUT a host
+    gather (save_state_sharded), host registry metadata as a small npz next
+    to it. Counterpart of save_scene for scale-out runs."""
     dirpath = os.path.abspath(dirpath)
     os.makedirs(dirpath, exist_ok=True)
-    ckptr = ocp.StandardCheckpointer()
-    path = os.path.join(dirpath, "orbax_state")
-    ckptr.save(path, _device_state_tree(mapper.state), force=True)
-    ckptr.wait_until_finished()
+    save_state_sharded(os.path.join(dirpath, "orbax_state"), mapper.state)
     if jax.process_index() == 0:  # one writer for the host metadata
         np.savez_compressed(
             os.path.join(dirpath, "scene_meta.npz"),
@@ -292,9 +325,7 @@ def load_scene_sharded(dirpath: str, mapper) -> None:
     first if desired) — each leaf is restored with the shape/dtype/sharding
     of the mapper's existing state, so shards land on their owning devices
     without a host round trip."""
-    import orbax.checkpoint as ocp
-
-    from openobj_tpu.core import optim, trainer
+    from openobj_tpu.core import trainer
 
     dirpath = os.path.abspath(dirpath)
     z = np.load(os.path.join(dirpath, "scene_meta.npz"))
@@ -316,20 +347,7 @@ def load_scene_sharded(dirpath: str, mapper) -> None:
         mapper.state = trainer.grow_train_state(
             jax.random.PRNGKey(0), mapper.state, mapper.cfg, n_slots
         )
-    template = _device_state_tree(mapper.state)
-    abstract = jax.tree.map(
-        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding),
-        template,
-    )
-    ckptr = ocp.StandardCheckpointer()
-    t = ckptr.restore(os.path.join(dirpath, "orbax_state"), abstract)
-    st = mapper.state
-    bg = "bg_params" in t
-    mapper.state = trainer.TrainState(
-        fg_params=t["fg_params"],
-        fg_opt=optim.AdamWState(t["fg_mu"], t["fg_nu"], t["fg_count"]),
-        bg_params=t["bg_params"] if bg else st.bg_params,
-        bg_opt=optim.AdamWState(t["bg_mu"], t["bg_nu"], t["bg_count"])
-        if bg else st.bg_opt,
+    mapper.state = load_state_sharded(
+        os.path.join(dirpath, "orbax_state"), mapper.state
     )
     _restore_registry_meta(mapper, z)

@@ -43,9 +43,12 @@ class TestGraftEntry:
         assert out[2].shape == (8, 120, 512)
         assert all(bool(jnp.isfinite(o).all()) for o in out)
 
-    def test_dryrun_multichip(self, eight_devices):
+    def test_dryrun_multichip(self, eight_devices, monkeypatch):
         import __graft_entry__ as g
 
+        # core checks only: the lifecycle/envelope tail is the DRIVER
+        # gate's job and costs minutes of CPU compiles per run
+        monkeypatch.setenv("OPENOBJ_DRYRUN_CORE_ONLY", "1")
         g.dryrun_multichip(8)  # asserts internally
 
 
@@ -81,6 +84,9 @@ class TestDryrunDriverEnvironment:
             "JAX_COMPILATION_CACHE_DIR",
             os.path.join(repo, ".cache", "jax"),
         )
+        # routing + per-mesh parity only — the lifecycle/envelope tail is
+        # the driver gate's job and would blow the subprocess timeout
+        env["OPENOBJ_DRYRUN_CORE_ONLY"] = "1"
         env.update(extra_env or {})
         return subprocess.run(
             [sys.executable, "-c", code],
