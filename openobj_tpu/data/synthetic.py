@@ -276,7 +276,7 @@ def _rot_x(a: float) -> np.ndarray:
 # --------------------------------------------------------------------------- #
 
 ARCHETYPES = ("spheres", "textured", "touching", "nonconvex", "tabletop",
-              "grazing")
+              "grazing", "clones", "occlusion")
 
 
 def archetype_scene(name: str):
@@ -379,6 +379,42 @@ def archetype_scene(name: str):
         # tight orbit close to the +x wall => grazing views of box 4
         return SyntheticScene(room=room, objects=objs), dict(radius=2.7,
                                                              height=-0.2)
+    if name == "clones":
+        # ADVERSARIAL: four IDENTICAL spheres — same radius, same color,
+        # no texture. Caption, CLIP, and color-histogram similarities all
+        # collide at ~1.0 across every pair, so association must keep the
+        # four apart on geometry alone (3D AABB IoU + projected 2D IoU,
+        # reference mask_graph.py:464-735). 2x2 grid with gaps >> radius;
+        # a merge of any two craters their matched per-GT IoU.
+        room = BoxRoom(A([3.0, 3.0, 2.0]), A([0.6, 0.6, 0.55]))
+        col = A([0.75, 0.25, 0.2])
+        objs = [
+            Sphere(A([sx, sy, 0.15]), 0.30, col, 4 + i)
+            for i, (sx, sy) in enumerate(
+                [(0.85, 0.85), (-0.85, 0.85), (0.85, -0.85), (-0.85, -0.85)]
+            )
+        ]
+        return SyntheticScene(room=room, objects=objs), dict(radius=2.6,
+                                                             height=-0.6)
+    if name == "occlusion":
+        # ADVERSARIAL: full occlusion + return. The small sphere (id 5)
+        # sits 3 cm behind a fat central pillar; while the camera orbits
+        # the far side the pillar hides it COMPLETELY for 13 contiguous
+        # frames of 40 (+ edge frames of <15 px slivers — ~15 frames with
+        # no usable mask), then it returns — association must re-identify
+        # it across the gap rather than mint a new instance (stresses the
+        # cross-frame cluster accumulation, reference
+        # mask_graph.py:737-895). The second sphere (id 6) gets its own
+        # shorter 7-frame gap on the opposite arc — a second re-id case.
+        room = BoxRoom(A([3.0, 3.0, 2.0]), A([0.6, 0.6, 0.55]))
+        objs = [
+            Box(A([0.0, 0.0, 0.0]), A([0.45, 0.45, 0.95]),
+                A([0.25, 0.5, 0.8]), 4),
+            Sphere(A([0.70, 0.0, 0.2]), 0.22, A([0.85, 0.3, 0.2]), 5),
+            Sphere(A([-0.9, 0.9, 0.3]), 0.28, A([0.3, 0.75, 0.3]), 6),
+        ]
+        return SyntheticScene(room=room, objects=objs), dict(radius=2.5,
+                                                             height=-0.3)
     raise KeyError(f"unknown archetype {name!r}; have {ARCHETYPES}")
 
 

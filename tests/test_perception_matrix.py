@@ -325,3 +325,40 @@ class TestSensorNoise:
         deltas = [np.abs(traj[i] - clean[i]).max() for i in range(4)]
         assert max(deltas) > 1e-5   # traj lies
         assert max(deltas) < 0.05   # ...by millimetres, not metres
+
+
+class TestAdversarialArchetypes:
+    """Geometry contracts of the round-4 adversarial rows: the clones'
+    cue collision and the occlusion gap (scripts/perception_matrix.py
+    scores the full stack on them; these pin the scene constructions)."""
+
+    def test_clones_are_identical_in_all_nongeometric_cues(self):
+        scene, _ = synthetic.archetype_scene("clones")
+        spheres = scene.objects
+        assert len(spheres) == 4
+        assert len({o.inst_id for o in spheres}) == 4
+        assert len({float(o.radius) for o in spheres}) == 1
+        colors = {tuple(np.round(o.color, 6)) for o in spheres}
+        assert len(colors) == 1          # color histograms collide
+        centers = np.stack([o.center for o in spheres])
+        d = np.linalg.norm(centers[:, None] - centers[None], axis=-1)
+        # gaps >> radius: geometry CAN separate them
+        assert d[~np.eye(4, dtype=bool)].min() > 3 * float(spheres[0].radius)
+
+    def test_occlusion_gap_is_contiguous_and_long(self):
+        from openobj_tpu.ops import sampling
+
+        w, h = 96, 72
+        dirs = np.asarray(
+            sampling.camera_ray_dirs(w, h, 0.65 * w, 0.65 * w, w / 2, h / 2)
+        )
+        scene, orbit = synthetic.archetype_scene("occlusion")
+        hidden = []
+        for i in range(40):
+            pose = synthetic.orbit_pose(2 * np.pi * i / 40, **orbit)
+            _, _, inst = scene.render(pose, dirs)
+            if (inst == 5).sum() == 0:
+                hidden.append(i)
+        assert len(hidden) >= 11
+        # one contiguous run (full occlusion + return, not flicker)
+        assert hidden == list(range(hidden[0], hidden[-1] + 1))
