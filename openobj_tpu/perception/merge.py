@@ -88,8 +88,10 @@ class GlobalClusters:
         self.color.setdefault(cluster_id, []).append(color_hist)
 
     def finalize(self, voxel: float = 0.01):
-        """Returns {id: pts}, {id: capft-384}, {id: color-96} reduced."""
-        pcs, caps, cols = {}, {}, {}
+        """Returns ({id: pts}, {id: capft-384}, {id: color-96}, {id: n_views})
+        — n_views is how many per-frame masks fed the cluster (the
+        second-stage bridge gate's evidence count)."""
+        pcs, caps, cols, views = {}, {}, {}, {}
         for cid in self.points:
             pcs[cid] = voxel_downsample(
                 np.concatenate(self.points[cid]).astype(np.float64), voxel
@@ -99,7 +101,8 @@ class GlobalClusters:
             caps[cid] = f / max(np.linalg.norm(f), 1e-12)
             c = np.stack(self.color[cid]).mean(0)
             cols[cid] = c / max(np.linalg.norm(c), 1e-12)
-        return pcs, caps, cols
+            views[cid] = len(self.capft[cid])
+        return pcs, caps, cols, views
 
 
 def estimate_depth_noise(depth_maps, quantile: float = 0.75) -> float:
@@ -230,6 +233,7 @@ def second_stage_mapping(
     weight_pc: float = 0.7, weight_caption: float = 0.7, weight_color: float = 0.7,
     forced_bg: dict | None = None,
     contact_pc: float = 0.0, contact_cap: float = 0.9, up_axis: int = 2,
+    n_views: dict | None = None, bridge_min_views: int = 2,
 ):
     """compute_similarity_matrix_thre parity (mask_graph.py:820-895).
     ``forced_bg`` maps cluster_id -> reserved id (1/2/3), taking precedence
@@ -324,7 +328,61 @@ def second_stage_mapping(
     # merge gates are pairwise-symmetric, so connected components are
     # the only order-independent reading of them.) Background-anchored
     # clusters never participate — reserved ids must not absorb objects.
+    #
+    # BRIDGE GATE: clusters backed by fewer than ``bridge_min_views``
+    # per-frame masks may ATTACH to a component but never act as a
+    # bridge inside the closure. Measured failure (noise-tier tabletop,
+    # sensor noise 1.0): mixed-pixel boundary slivers at the
+    # sphere/torus contact formed 1-mask clusters whose small noisy
+    # clouds overlapped BOTH parents above every gate (chain
+    # sphere ~ sliver ~ torus, direct sphere-torus pc overlap 0.063 —
+    # far below the 0.4 gate) and the closure welded two distinct
+    # objects (torus mIoU 0.87 -> 0.00). Legit healing chains (temporal
+    # split halves, top-face strips) are all multi-view and unaffected.
     parent = list(range(n))
+    if n_views is None:
+        core = [True] * n
+    else:
+        core = [n_views.get(keys[i], 1) >= bridge_min_views
+                for i in range(n)]
+
+    # APPEARANCE-TWIN tier (core-core, only when view counts are known):
+    # sensor noise can split one object into temporal-half clusters whose
+    # clouds are near-DISJOINT opposite-face slabs — no pc overlap, no
+    # shared bridge, thin AABB intersection. What the halves DO share is
+    # strong appearance: measured (noise-tier touching) cap 1.000 /
+    # col 0.926 between one box's halves vs col <= 0.59 for every
+    # cross-object core pair in two scenes. Adjacent-extent + twin
+    # appearance merges them; the adjacency pad keeps identical objects
+    # apart unless they touch (that case is the contact tier's
+    # documented learned-objectness limit, shared by the reference).
+    if n_views is not None:
+        twin_col = max(weight_color, 0.8)
+        for i in range(n):
+            if not core[i]:
+                continue
+            for j in range(i + 1, n):
+                if (core[j] and not merge[i, j]
+                        and sim_cap[i, j] > contact_cap
+                        and sim_col[i, j] > twin_col
+                        and len(pc_l[i]) and len(pc_l[j])):
+                    lo_i, hi_i = pc_l[i].min(0), pc_l[i].max(0)
+                    lo_j, hi_j = pc_l[j].min(0), pc_l[j].max(0)
+                    # adjacency in UNION units: for one object's halves
+                    # the union envelope is object-sized and the
+                    # inter-slab gap a fraction of it (measured 0.17 m
+                    # gap in a 0.62 m box = 0.27), while two identical
+                    # objects placed apart gap by >= their own size
+                    # (clones: 0.42 with noise-fattened AABBs, 0.65
+                    # geometric). Slab extents themselves shrink exactly
+                    # when evidence is worst, so the gap is normalized
+                    # by the union extent, per axis. 0.33 splits the
+                    # measured 0.27 / 0.42.
+                    union = np.maximum(hi_i, hi_j) - np.minimum(lo_i, lo_j)
+                    gap = np.maximum(np.maximum(lo_j - hi_i, lo_i - hi_j),
+                                     0.0)
+                    if np.all(gap <= 0.33 * union):
+                        merge[i, j] = merge[j, i] = True
 
     def find(x):
         while parent[x] != x:
@@ -333,13 +391,67 @@ def second_stage_mapping(
         return x
 
     for i in range(n):
-        if bg_of[i] is not None:
+        if bg_of[i] is not None or not core[i]:
             continue
         for j in range(i + 1, n):
-            if bg_of[j] is None and merge[i, j]:
+            if bg_of[j] is None and core[j] and merge[i, j]:
                 ri, rj = find(i), find(j)
                 if ri != rj:
                     parent[rj] = ri
+
+    # leaves: full closure among THEMSELVES (a fully fragmented object —
+    # grazing thin boxes where every orbit view is its own 1-mask
+    # cluster — heals into one component), then each leaf GROUP attaches
+    # to at most ONE core component: the one holding its single
+    # best-overlapping passing edge. A group touching two cores (the
+    # tabletop sliver cloud between sphere and torus) goes to the better
+    # side instead of welding them; a group with no core edge keeps its
+    # own id — oversegmentation beats welding.
+    for i in range(n):
+        if core[i] or bg_of[i] is not None:
+            continue
+        for j in range(i + 1, n):
+            if (not core[j] and bg_of[j] is None and merge[i, j]):
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[rj] = ri
+    group_cores: dict[int, list] = {}   # leaf-group root -> [(sim_pc, core j)]
+    for i in range(n):
+        if core[i] or bg_of[i] is not None:
+            continue
+        r = find(i)
+        for j in range(n):
+            if core[j] and bg_of[j] is None and merge[i, j]:
+                group_cores.setdefault(r, []).append((sim_pc[i, j], j))
+    aabb = [(pc.min(0), pc.max(0)) if len(pc) else None for pc in pc_l]
+
+    def _aabb_touch(a, b, pad):
+        if aabb[a] is None or aabb[b] is None:
+            return False
+        return bool(np.all(aabb[a][0] <= aabb[b][1] + pad)
+                    and np.all(aabb[b][0] <= aabb[a][1] + pad))
+
+    for r, edges in group_cores.items():
+        _, hub = max(edges)
+        rr, rh = find(r), find(hub)
+        if rr != rh:
+            parent[rr] = rh
+        # BRIDGED WELD: the group reaches other core components too.
+        # The bridge supplies the geometric continuity the cores lack
+        # (temporal halves of one object have near-disjoint clouds), so
+        # the cores themselves must supply the appearance evidence:
+        # near-identical captions AND colors AND interleaved extents.
+        # Measured separation (noise tier): one box's halves cap 1.000 /
+        # col 0.926 / AABBs interpenetrating vs sphere-torus through a
+        # boundary sliver cap 0.667 / col 0.590 and every other
+        # cross-object core pair col <= 0.51.
+        for _, j in edges:
+            rj = find(j)
+            if (rj != find(hub)
+                    and sim_cap[hub, j] > contact_cap
+                    and sim_col[hub, j] > weight_color
+                    and _aabb_touch(hub, j, dis_thre)):
+                parent[rj] = find(hub)
 
     mapping: dict[int, int] = {}
     counter = 4

@@ -151,7 +151,7 @@ def associate(
                         if mode_id == gid:
                             gt_sem = name
             clusters.add(cid, ev.points, kept_capft[i][j], ev.color_hist, gt_sem)
-    pcs, caps_g, cols_g = clusters.finalize()
+    pcs, caps_g, cols_g, views_g = clusters.finalize()
 
     # stage 4.5 (weights-free path): geometric bg anchoring — large thin
     # planes route to the reserved wall/floor/ceiling ids when captions
@@ -193,6 +193,10 @@ def associate(
         weight_color=cfg.weight_color, forced_bg=forced_bg,
         contact_pc=cfg.contact_pc, contact_cap=cfg.contact_cap,
         up_axis=cfg.geo_bg_up_axis,
+        # bridge gate scales with sequence length: a cluster must be
+        # seen in ≥10% of the association frames (min 2) to weld
+        # components; below that it one-hop attaches to its best match
+        n_views=views_g, bridge_min_views=max(2, len(frames) // 10),
     )
     final_ids = [
         [mapping.get(c, 0) for c in fids] for fids in per_frame_ids

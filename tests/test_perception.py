@@ -228,6 +228,84 @@ class TestMerge:
         mapping0, _ = merge.second_stage_mapping(pcs, caps, cols, **kw)
         assert mapping0[2] != mapping0[1]
 
+    def test_bridge_gate_blocks_single_view_weld(self, rng):
+        """Noise-tier regression (tabletop sphere+torus weld): a 1-view
+        boundary sliver overlapping TWO distinct cores above every gate
+        must not weld them through the transitive closure — it attaches
+        to its better side. Without view counts (n_views=None) the old
+        closure welds: the gate is what separates the behaviors."""
+        f1, f2 = _unit(rng.normal(size=384)), _unit(rng.normal(size=384))
+        c1 = _unit(np.abs(rng.normal(size=96)))
+        c2 = _unit(np.abs(rng.normal(size=96)))
+        a = rng.uniform(0, 1, (3000, 3)) * [0.3, 0.3, 0.3]
+        b = a + [0.30, 0, 0]                      # object in contact
+        # mixed-pixel sliver: a thin strip AT the interface — every
+        # point within dis_thre of BOTH dense clouds (ungated pc > 0.9)
+        sliver = (rng.uniform(0, 1, (40, 3)) * [0.02, 0.3, 0.3]
+                  + [0.29, 0, 0])
+        pcs = {1: a, 2: b, 3: sliver}
+        caps = {1: f1, 2: f2, 3: f1}
+        cols = {1: c1, 2: c2, 3: c1}
+        kw = dict(bg_feats={}, dis_thre=0.05, weight_pc=0.4,
+                  weight_caption=0.3, weight_color=0.6)
+        welded, _ = merge.second_stage_mapping(pcs, caps, cols, **kw)
+        assert welded[1] == welded[2] == welded[3]   # the measured failure
+        mapping, _ = merge.second_stage_mapping(
+            pcs, caps, cols, n_views={1: 10, 2: 10, 3: 1}, **kw)
+        assert mapping[1] != mapping[2]              # cores stay apart
+        assert mapping[3] in (mapping[1], mapping[2])  # sliver attaches
+
+    def test_leaf_group_heals_fragmented_object(self, rng):
+        """A fully fragmented object (every view its own 1-mask cluster,
+        consecutive views chain-overlapping) must still close into ONE
+        object: leaves union among themselves (grazing-archetype noise
+        regression), they just cannot weld two multi-view cores."""
+        f = _unit(rng.normal(size=384))
+        c = _unit(np.abs(rng.normal(size=96)))
+        base = rng.uniform(0, 1, (1500, 3)) * [0.2, 1, 0.2]
+        pcs = {k: base + [0.08 * k, 0, 0] for k in range(1, 5)}
+        caps = {k: f for k in pcs}
+        cols = {k: c for k in pcs}
+        mapping, _ = merge.second_stage_mapping(
+            pcs, caps, cols, bg_feats={}, dis_thre=0.05, weight_pc=0.4,
+            weight_caption=0.3, weight_color=0.6,
+            n_views={k: 1 for k in pcs})
+        assert len({mapping[k] for k in pcs}) == 1
+
+    def test_appearance_twin_tier(self, rng):
+        """Noise-tier regression (touching middle box split): two
+        multi-view cores with near-DISJOINT opposite-face slab clouds
+        merge iff captions AND colors are near-identical AND the
+        inter-slab gap is small relative to their union extent. Clones
+        (same appearance, gap ~ their own size) and different-color
+        neighbors stay separate."""
+        f = _unit(rng.normal(size=384))
+        c = _unit(np.abs(rng.normal(size=96)))
+        c_other = _unit(np.abs(rng.normal(size=96)))
+        slab = rng.uniform(0, 1, (300, 3)) * [0.6, 0.2, 0.6]
+        kw = dict(bg_feats={}, dis_thre=0.02, weight_pc=0.4,
+                  weight_caption=0.3, weight_color=0.6, contact_cap=0.9)
+        # halves: gap 0.1 in a union of ~0.5 along y -> twin merge
+        pcs = {1: slab, 2: slab + [0, 0.3, 0]}
+        m, _ = merge.second_stage_mapping(
+            pcs, {1: f, 2: f}, {1: c, 2: c}, n_views={1: 7, 2: 7}, **kw)
+        assert m[1] == m[2]
+        # same appearance, clone-scale gap (~1.2x extent) -> separate
+        pcs = {1: slab, 2: slab + [0, 0.45, 0]}
+        m, _ = merge.second_stage_mapping(
+            pcs, {1: f, 2: f}, {1: c, 2: c}, n_views={1: 7, 2: 7}, **kw)
+        assert m[1] != m[2]
+        # small gap but different color -> separate
+        pcs = {1: slab, 2: slab + [0, 0.3, 0]}
+        m, _ = merge.second_stage_mapping(
+            pcs, {1: f, 2: f}, {1: c, 2: c_other},
+            n_views={1: 7, 2: 7}, **kw)
+        assert m[1] != m[2]
+        # n_views absent -> tier off (old behavior preserved)
+        m, _ = merge.second_stage_mapping(
+            pcs | {}, {1: f, 2: f}, {1: c, 2: c}, **kw)
+        assert m[1] != m[2]
+
     def test_bg_caption_reserved_ids(self, rng):
         wall = _unit(rng.normal(size=384))
         f_obj = _unit(rng.normal(size=384))
