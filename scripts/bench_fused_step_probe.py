@@ -304,6 +304,140 @@ def q4():
     }
 
 
+# --------------------------------------------------------------------------- #
+# Q5: the part-term kernel (the OTHER named lever: "Pallas part-term kernel
+# (est. -10 ms)") — probe its only compiling form against XLA
+# --------------------------------------------------------------------------- #
+
+
+def q5(n_tiles: int = 8, o_tile: int = 8):
+    """Part-term fwd kernel probe. Per optimizer step the factored cosine
+    term (ops/losses.py:factored_cosine_loss) computes
+        t = gt @ wb^T   (the C=512 contraction — the big GEMM)
+        g = wb @ wb^T   (tiny Gram)
+    then num = sum(t*hp), pn2 = hp g hp. A part-term kernel can only fuse
+    the two LOADED-operand batched dots: the quadratic form hp @ g is a
+    dot on a COMPUTED operand (the q4 crash form), and the elementwise
+    expansion hp[:,:,:,None]*g[:,None]*hp[:,:,None,:] pads 33 -> 128
+    lanes and blows VMEM (8*120*40*128 f32 = 20 MB). So the honest kernel
+    = {t, g} fused, epilogue in XLA — timed here against XLA running the
+    identical math. sin() on the perturbed gt operand breaks linearity so
+    the scan protocol cannot hoist the dots (_benchlib CAUTION).
+    Compile-only cases document whether a bwd kernel (dW = d_t contract-R
+    gt, both loaded) is even expressible."""
+    import functools as ft
+
+    obj = n_tiles * o_tile
+    r, hpd, c = 120, H + 1, 512
+    gt0 = jnp.asarray(np.random.randn(obj, r, c) * 0.1, jnp.float32)
+    wb = jnp.asarray(np.random.randn(obj, hpd, c) * 0.1, jnp.float32)
+    hp = jnp.asarray(np.random.randn(obj, r, hpd) * 0.1, jnp.float32)
+
+    bd_c = ft.partial(
+        jax.lax.dot_general,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+
+    def kernel(gt_ref, wb_ref, t_ref, g_ref):
+        gt = gt_ref[...]
+        w = wb_ref[...]
+        t_ref[...] = bd_c(gt, w)
+        g_ref[...] = bd_c(w, w)
+
+    f = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((o_tile, r, c), lambda i: (i, 0, 0)),
+            pl.BlockSpec((o_tile, hpd, c), lambda i: (i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((o_tile, r, hpd), lambda i: (i, 0, 0)),
+            pl.BlockSpec((o_tile, hpd, hpd), lambda i: (i, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((obj, r, hpd), jnp.float32),
+            jax.ShapeDtypeStruct((obj, hpd, hpd), jnp.float32),
+        ],
+    )
+
+    def epilogue(t, g, h):
+        num = jnp.sum(t * h, axis=-1)
+        pn2 = jnp.einsum("orh,ohk,ork->or", h, g, h)
+        return num + pn2
+
+    def pallas_fn(w, h, g0):
+        t, g = f(jnp.sin(g0), w)
+        return epilogue(t, g, h)
+
+    def xla_fn(w, h, g0):
+        gt = jnp.sin(g0)
+        t = jnp.einsum("orc,ohc->orh", gt, w,
+                       preferred_element_type=jnp.float32)
+        g = jnp.einsum("ohc,okc->ohk", w, w,
+                       preferred_element_type=jnp.float32)
+        return epilogue(t, g, h)
+
+    out = {}
+    try:
+        per = _scan_time(pallas_fn, (wb, hp, gt0), iters=100)
+        out["pallas_t_g_kernel_us_per_step"] = round(per * 1e6, 2)
+        out["pallas_us_per_grid_step"] = round(per / n_tiles * 1e6, 2)
+    except Exception as e:  # noqa: BLE001
+        out["pallas_t_g_kernel"] = "crash: " + str(e).split("\n")[0][:120]
+    perx = _scan_time(xla_fn, (wb, hp, gt0), iters=100)
+    out["xla_same_math_us_per_step"] = round(perx * 1e6, 2)
+    out["per_frame_ms_pallas_x100"] = round(
+        out.get("pallas_t_g_kernel_us_per_step", float("nan")) / 10, 2)
+    out["per_frame_ms_xla_x100"] = round(perx * 1e6 / 10, 2)
+
+    # compile-only boundary cases for the rest of the part-term kernel
+    def compile_case(body, n_out):
+        fs = pl.pallas_call(
+            body,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec((o_tile, r, c), lambda i: (i, 0, 0)),
+                pl.BlockSpec((o_tile, hpd, c), lambda i: (i, 0, 0)),
+                pl.BlockSpec((o_tile, r, hpd), lambda i: (i, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((o_tile,) + n_out, lambda i: (i, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((obj,) + n_out, jnp.float32),
+        )
+        try:
+            jax.block_until_ready(
+                jax.jit(lambda *a: fs(*a).sum())(gt0, wb, hp))
+            return "ok"
+        except Exception as e:  # noqa: BLE001
+            return "crash: " + str(e).split("\n")[0][:80]
+
+    bd_r = ft.partial(
+        jax.lax.dot_general,
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+
+    def bwd_dw(gt_ref, wb_ref, dt_ref, o_ref):
+        # dW = d_t (contract rays) gt — BOTH loaded; the bwd kernel's core
+        o_ref[...] = bd_r(dt_ref[...], gt_ref[...])
+
+    def fwd_quadratic_chained(gt_ref, wb_ref, hp_ref, o_ref):
+        # hp @ g with g computed in-kernel: the q4 crash form at THESE shapes
+        w = wb_ref[...]
+        g = bd_c(w, w)
+        z = jax.lax.dot_general(
+            hp_ref[...], g,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        o_ref[...] = z
+
+    out["compile_bwd_dW_loaded_operands"] = compile_case(bwd_dw, (hpd, c))
+    out["compile_quadratic_chained_dot"] = compile_case(
+        fwd_quadratic_chained, (r, hpd))
+    return out
+
+
 if __name__ == "__main__":
     import argparse
     import json
@@ -313,7 +447,7 @@ if __name__ == "__main__":
                     help="subset of q1 q2 q3 q4 (remote compiles are slow; "
                          "run sections separately when iterating)")
     args = ap.parse_args()
-    sections = {"q1": q1, "q2": q2, "q3": q3, "q4": q4}
+    sections = {"q1": q1, "q2": q2, "q3": q3, "q4": q4, "q5": q5}
     print("devices:", jax.devices(), flush=True)
     for name, fn in sections.items():
         if args.only and name not in args.only:
