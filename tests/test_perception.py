@@ -57,6 +57,36 @@ class TestProjection:
         assert ok[0]
         assert not evs[0].mask[50, 50]
 
+    def test_invalid_depth_pixels_restored_when_connected(self):
+        # sensor-dropout holes INSIDE a surviving surface stay in the 2D
+        # mask (restore_invalid_depth, default on); disconnected
+        # invalid-depth islands and the 3D evidence itself are unchanged
+        h, w = 60, 60
+        depth = np.full((h, w), 1.5, np.float32)
+        rgb = np.zeros((h, w, 3), np.uint8)
+        mask = np.zeros((h, w), bool)
+        mask[10:40, 10:40] = True     # object surface
+        mask[50:56, 50:56] = True     # separate component, all-invalid depth
+        depth[20:24, 20:24] = 0.0     # interior dropout hole
+        depth[10:40, 10] = 0.0        # boundary dropout column
+        depth[50:56, 50:56] = 0.0
+        evs, ok = projection.project_masks(
+            [mask], depth, rgb, np.eye(4), 30, 30, 30, 30,
+            min_component_px=100, dbscan_min_points=20,
+        )
+        assert ok[0]
+        ev = evs[0]
+        assert ev.mask[21, 21] and ev.mask[20, 10]   # restored
+        assert not ev.mask[52, 52]                   # island: no evidence
+        # restored pixels contribute no 3D points (all at valid z=1.5)
+        np.testing.assert_allclose(ev.points[:, 2], 1.5)
+        evs_off, _ = projection.project_masks(
+            [mask], depth, rgb, np.eye(4), 30, 30, 30, 30,
+            min_component_px=100, dbscan_min_points=20,
+            restore_invalid_depth=False,
+        )
+        assert not evs_off[0].mask[21, 21]           # reference behavior
+
 
 class TestSimilarity:
     def test_iou3d_smaller_volume_normalized(self):
