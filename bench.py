@@ -84,6 +84,13 @@ def build_envelope(cfg=None):
             inst_full,
             pose,
             partfeat=partfeat_dev,
+            # at= passes the host-known index: the default path reads
+            # int(store.n_frames), a device-scalar sync that serializes
+            # every append behind the previous frame's full tunnel round
+            # trip (faulthandler-measured minutes of build time on the
+            # dev tunnel). _append still bumps n_frames via max(n, i+1),
+            # so the resulting store is identical.
+            at=f,
         )
 
     K = N_FRAMES_STORE
@@ -153,9 +160,18 @@ def main():
             state, store, cam_dirs, fg_tables, bg_tables, k, cfg
         )
 
+    # FRESH entropy per invocation: the dev tunnel memoizes identical
+    # (executable, args) dispatches across PROCESSES — a second bench run
+    # with the deterministic PRNGKey(1..) keys replayed the previous run's
+    # results and reported 0.001 s/frame (~120x the genuine number, cache
+    # on or off). Host-random keys make every invocation's dispatches
+    # unique; within a run the 8 frames already differ (distinct keys,
+    # donated-state chaining).
+    seed = int.from_bytes(os.urandom(4), "little")
+
     # compile + warmup
     t0 = time.perf_counter()
-    new_state, losses = run(jax.random.PRNGKey(1))
+    new_state, losses = run(jax.random.PRNGKey(seed))
     jax.block_until_ready(losses)
     compile_s = time.perf_counter() - t0
 
@@ -165,7 +181,7 @@ def main():
     # is fully serialized while host dispatch overlaps it
     t0 = time.perf_counter()
     for i in range(N_TIMED_FRAMES):
-        k = jax.random.PRNGKey(2 + i)
+        k = jax.random.PRNGKey(seed ^ (2 + i))
         new_state, losses = trainer.train_frame(
             new_state, store, cam_dirs, fg_tables, bg_tables, k, cfg
         )
@@ -196,6 +212,12 @@ def main():
                 "xla_flops_per_frame": flops,
                 "achieved_tflops": round(achieved / 1e12, 2),
                 "peak_frac_f32": round(achieved / 98.5e12, 4),
+                # this latency-dominated program genuinely achieves ~0.007
+                # of f32 peak (docs/PERFORMANCE.md budget); a reading 30x
+                # above that means the tunnel replayed the dispatches and
+                # the number is NOT a measurement
+                **({"timing_suspect_dispatch_replay": True}
+                   if achieved / 98.5e12 > 0.2 else {}),
             }
     except Exception as e:  # noqa: BLE001 — cost analysis is best-effort
         flops_detail = {"cost_analysis_error": str(e)}
