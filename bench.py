@@ -141,6 +141,68 @@ def _measured_cpu_ratio() -> dict:
         return {}
 
 
+# Plausibility floor for wall-clock frame time. The measured, xplane-
+# confirmed budget is ~0.123 s/frame (docs/PERFORMANCE.md "Per-frame
+# budget"); a reading below budget/4 would be a >4x one-round speedup of a
+# latency-dominated program — that is NOT a measurement, it is the dev
+# tunnel replaying dispatches (observed r02 and r04: 0.0015 s/frame).
+# Computed from sec_per_frame ALONE so detection works even when XLA cost
+# analysis is unavailable (round-4 advisor finding).
+DOCUMENTED_SEC_PER_FRAME = 0.123
+SUSPECT_SEC_PER_FRAME = DOCUMENTED_SEC_PER_FRAME / 4
+
+
+def _xplane_device_sec(logdir) -> float:
+    """Total device-busy seconds in a jax.profiler trace: span (max end −
+    min start) of 'XLA Ops' events on device planes of the raw .xplane.pb.
+    Host wall-clock never enters — this is the replay-proof fallback."""
+    import glob as _glob
+
+    os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    paths = _glob.glob(
+        os.path.join(logdir, "plugins", "profile", "*", "*.xplane.pb"))
+    assert paths, f"no xplane under {logdir}"
+    t_min, t_max = None, None
+    for path in paths:
+        xs = xplane_pb2.XSpace()
+        with open(path, "rb") as f:
+            xs.ParseFromString(f.read())
+        for plane in xs.planes:
+            if "TPU" not in plane.name and "/device" not in plane.name:
+                continue
+            for line in plane.lines:
+                if "XLA Ops" not in line.name and line.name != "Ops":
+                    continue
+                for ev in line.events:
+                    start = line.timestamp_ns + ev.offset_ps / 1e3
+                    end = start + ev.duration_ps / 1e3
+                    t_min = start if t_min is None else min(t_min, start)
+                    t_max = end if t_max is None else max(t_max, end)
+    assert t_min is not None, "no device-plane XLA Ops events in trace"
+    return (t_max - t_min) / 1e9
+
+
+def _measure_wall(trainer, jax, state, store, cam_dirs, fg_tables,
+                  bg_tables, cfg, seed):
+    """Per-frame SYNCHRONOUS wall timing: each frame's losses are fetched
+    to host before the next dispatch, so a non-blocking tunnel 'block'
+    cannot fake completion — real values must cross the wire. Returns
+    (median sec/frame, per-frame times, loss vectors)."""
+    times, loss_vecs = [], []
+    new_state = state
+    for i in range(N_TIMED_FRAMES):
+        k = jax.random.PRNGKey(seed ^ (2 + i))
+        t0 = time.perf_counter()
+        new_state, losses = trainer.train_frame(
+            new_state, store, cam_dirs, fg_tables, bg_tables, k, cfg
+        )
+        loss_vecs.append(np.asarray(jax.block_until_ready(losses)))
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times)), times, loss_vecs
+
+
 def main():
     import jax
 
@@ -155,11 +217,6 @@ def main():
 
     state, store, cam_dirs, fg_tables, bg_tables, cfg = build_envelope()
 
-    def run(k):
-        return trainer.train_frame(
-            state, store, cam_dirs, fg_tables, bg_tables, k, cfg
-        )
-
     # FRESH entropy per invocation: the dev tunnel memoizes identical
     # (executable, args) dispatches across PROCESSES — a second bench run
     # with the deterministic PRNGKey(1..) keys replayed the previous run's
@@ -171,22 +228,90 @@ def main():
 
     # compile + warmup
     t0 = time.perf_counter()
-    new_state, losses = run(jax.random.PRNGKey(seed))
+    warm_state, losses = trainer.train_frame(
+        state, store, cam_dirs, fg_tables, bg_tables,
+        jax.random.PRNGKey(seed), cfg)
     jax.block_until_ready(losses)
     compile_s = time.perf_counter() - t0
+    # train_frame donates its state; snapshot to host once so every retry
+    # attempt (and the profiler fallback) starts from live buffers
+    host_state = jax.tree.map(np.asarray, warm_state)
+    del warm_state, state
 
-    # steady state: frames dispatched back-to-back (the production
-    # SceneMapper pipeline defers syncs the same way), one block at the end —
-    # successive frames chain through the donated state, so the device time
-    # is fully serialized while host dispatch overlaps it
-    t0 = time.perf_counter()
-    for i in range(N_TIMED_FRAMES):
-        k = jax.random.PRNGKey(seed ^ (2 + i))
-        new_state, losses = trainer.train_frame(
-            new_state, store, cam_dirs, fg_tables, bg_tables, k, cfg
-        )
-    jax.block_until_ready(losses)
-    sec_per_frame = (time.perf_counter() - t0) / N_TIMED_FRAMES
+    # Measurement, with up to 3 attempts when the replay detector trips.
+    # Round-4 postmortem: urandom keys did NOT defeat the tunnel's replay
+    # (BENCH_r04: 0.0015 s/frame with distinct per-frame keys), so each
+    # retry also re-uploads fresh host-random rgb/depth into the store —
+    # every dispatch becomes content-unique in its LARGE operands too.
+    suspect = False
+    distinct = True
+    method = "wall"
+    attempts = []
+    sec_per_frame = None
+    rng = np.random.default_rng(seed)
+    for attempt in range(3):
+        spf, frame_times, loss_vecs = _measure_wall(
+            trainer, jax, host_state, store, cam_dirs, fg_tables,
+            bg_tables, cfg, seed ^ (attempt << 8))
+        attempts.append(round(spf, 4))
+        # distinctness: every frame ran with a different PRNG key, so
+        # identical loss vectors mean the tunnel served stale results
+        distinct = len({v.tobytes() for v in loss_vecs}) == len(loss_vecs)
+        suspect = spf < SUSPECT_SEC_PER_FRAME or not distinct
+        if not suspect:
+            sec_per_frame = spf
+            break
+        # content-unique retry: overwrite 2 store frames with fresh pixels
+        from openobj_tpu.core.frame_store import append_frame
+        for f in (0, 1):
+            pose = np.eye(4, dtype=np.float32)
+            pose[:3, 3] = [0.1 * f, 0.01 * attempt, 0]
+            store, _ = append_frame(
+                store,
+                rng.integers(0, 255, (H, W, 3)).astype(np.uint8),
+                rng.uniform(0.5, 6.0, (H, W)).astype(np.float32),
+                np.asarray(store.inst[f]), pose, at=f)
+
+    if sec_per_frame is None:
+        # every wall attempt tripped the detector — the tunnel is replaying
+        # regardless of content. Fall back to PROFILER device time: xplane
+        # op timestamps come from the device runtime and cannot be faked by
+        # dispatch replay (a replayed dispatch runs no device ops at all —
+        # which itself would fail the assert in _xplane_device_sec).
+        import shutil
+        import tempfile
+
+        method = "profiler"
+        logdir = tempfile.mkdtemp(prefix="bench_prof_")
+        try:
+            n_prof = 2
+            st = host_state
+            with jax.profiler.trace(logdir):
+                for i in range(n_prof):
+                    st, losses = trainer.train_frame(
+                        st, store, cam_dirs, fg_tables, bg_tables,
+                        jax.random.PRNGKey(seed ^ (7000 + i)), cfg)
+                jax.block_until_ready(losses)
+            sec_per_frame = _xplane_device_sec(logdir) / n_prof
+        finally:
+            shutil.rmtree(logdir, ignore_errors=True)
+        # a profiler reading below the floor means no device work was
+        # captured either — refuse to report a number at all
+        if sec_per_frame < SUSPECT_SEC_PER_FRAME:
+            print(json.dumps({
+                "metric": "train_rays_per_sec_per_chip",
+                "value": None, "unit": "rays/s", "vs_baseline": None,
+                "timing_suspect_dispatch_replay": True,
+                "error": "wall and profiler timings both below the "
+                         f"plausibility floor ({SUSPECT_SEC_PER_FRAME:.3f} "
+                         "s/frame); no trustworthy measurement obtained",
+                "detail": {"wall_attempts_sec_per_frame": attempts,
+                           "profiler_sec_per_frame": round(sec_per_frame, 5),
+                           "loss_vectors_distinct": distinct},
+            }))
+            raise SystemExit(3)
+        suspect = False
+
     rays_per_frame = cfg.n_iters_per_frame * (
         N_ACTIVE_OBJECTS * cfg.n_rays_per_step + cfg.n_rays_per_step_bg
     )
@@ -200,7 +325,7 @@ def main():
     try:
         cost = (
             trainer.train_frame
-            .lower(state, store, cam_dirs, fg_tables, bg_tables,
+            .lower(host_state, store, cam_dirs, fg_tables, bg_tables,
                    jax.random.PRNGKey(9), cfg)
             .compile()
             .cost_analysis()
@@ -212,12 +337,6 @@ def main():
                 "xla_flops_per_frame": flops,
                 "achieved_tflops": round(achieved / 1e12, 2),
                 "peak_frac_f32": round(achieved / 98.5e12, 4),
-                # this latency-dominated program genuinely achieves ~0.007
-                # of f32 peak (docs/PERFORMANCE.md budget); a reading 30x
-                # above that means the tunnel replayed the dispatches and
-                # the number is NOT a measurement
-                **({"timing_suspect_dispatch_replay": True}
-                   if achieved / 98.5e12 > 0.2 else {}),
             }
     except Exception as e:  # noqa: BLE001 — cost analysis is best-effort
         flops_detail = {"cost_analysis_error": str(e)}
@@ -229,6 +348,12 @@ def main():
                 "value": round(rays_per_sec, 1),
                 "unit": "rays/s",
                 "vs_baseline": round(rays_per_sec / REF_RAYS_PER_SEC, 2),
+                # how the number was obtained: "wall" = synchronous
+                # per-frame wall clock (losses fetched to host each frame);
+                # "profiler" = xplane device time (used only when every
+                # wall attempt tripped the replay detector)
+                "method": method,
+                "timing_suspect_dispatch_replay": suspect,
                 # the reference publishes no numbers; the denominator is the
                 # documented workload-envelope estimate derived in this
                 # module's docstring (~5e5 rays/s for the torch loop), NOT a
@@ -246,6 +371,9 @@ def main():
                 **_measured_cpu_ratio(),
                 "detail": {
                     "sec_per_frame": round(sec_per_frame, 4),
+                    "wall_attempts_sec_per_frame": attempts,
+                    "loss_vectors_distinct": distinct,
+                    "suspect_floor_sec_per_frame": SUSPECT_SEC_PER_FRAME,
                     "compile_s": round(compile_s, 1),
                     "compilation_cache_dir": cache_info["dir"],
                     "compilation_cache_entries_before":

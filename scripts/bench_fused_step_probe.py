@@ -388,8 +388,9 @@ def q5(n_tiles: int = 8, o_tile: int = 8):
         out["pallas_t_g_kernel"] = "crash: " + str(e).split("\n")[0][:120]
     perx = _scan_time(xla_fn, (wb, hp, gt0), iters=100)
     out["xla_same_math_us_per_step"] = round(perx * 1e6, 2)
-    out["per_frame_ms_pallas_x100"] = round(
-        out.get("pallas_t_g_kernel_us_per_step", float("nan")) / 10, 2)
+    if "pallas_t_g_kernel_us_per_step" in out:
+        out["per_frame_ms_pallas_x100"] = round(
+            out["pallas_t_g_kernel_us_per_step"] / 10, 2)
     out["per_frame_ms_xla_x100"] = round(perx * 1e6 / 10, 2)
 
     # compile-only boundary cases for the rest of the part-term kernel
@@ -444,7 +445,7 @@ if __name__ == "__main__":
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", nargs="*", default=None,
-                    help="subset of q1 q2 q3 q4 (remote compiles are slow; "
+                    help="subset of q1 q2 q3 q4 q5 (remote compiles are slow; "
                          "run sections separately when iterating)")
     args = ap.parse_args()
     sections = {"q1": q1, "q2": q2, "q3": q3, "q4": q4, "q5": q5}

@@ -563,6 +563,57 @@ def run_convergence_twin(n_frames: int = 8, n_iters: int = 100,
     }
 
 
+def run_multiseed(n_seeds: int = 5, n_frames: int = 8,
+                  n_iters: int = 100, verbose: bool = True) -> dict:
+    """Convergence twin over ``n_seeds`` independent seeds: per-seed init +
+    batch draws differ, protocol identical. The round-4 verdict's point:
+    a single (jax, ref, ref_b) triple is not a distribution — "inside the
+    f32 chaos floor" needs the floor MEASURED as a spread. Returns both
+    frameworks' PSNR distributions (mean over objects, per seed), the
+    per-seed cross-framework deltas, and the per-seed ref-vs-ref self
+    deltas (same init, equally-distributed different batch draw) that
+    define the floor."""
+    psnr_jax, psnr_ref, cross, self_ref = [], [], [], []
+    for s in range(n_seeds):
+        if verbose:
+            print(f"-- multiseed {s + 1}/{n_seeds} (seed {s}) --", flush=True)
+        r = run_convergence_twin(n_frames=n_frames, n_iters=n_iters,
+                                 seed=s, verbose=verbose)
+        rows = r["eval"].values()
+        psnr_jax.append(float(np.mean([e["psnr_jax"] for e in rows])))
+        psnr_ref.append(float(np.mean([e["psnr_ref"] for e in rows])))
+        cross.append(float(r["psnr_delta_max_db"]))
+        self_ref.append(float(r["psnr_ref_self_delta_max_db"]))
+
+    def dist(xs):
+        return {"per_seed": [round(x, 3) for x in xs],
+                "mean": round(float(np.mean(xs)), 3),
+                "std": round(float(np.std(xs)), 3),
+                "min": round(float(np.min(xs)), 3),
+                "max": round(float(np.max(xs)), 3)}
+
+    out = {
+        "n_seeds": n_seeds,
+        "protocol": {"n_frames": n_frames, "n_iters": n_iters},
+        # mean-over-objects PSNR of each framework's OWN render, per seed
+        "psnr_jax_db": dist(psnr_jax),
+        "psnr_ref_db": dist(psnr_ref),
+        # max-over-objects |psnr_jax - psnr_ref| per seed (byte-identical
+        # batches within a seed — the cross-framework divergence)
+        "cross_delta_max_db": dist(cross),
+        # max-over-objects |psnr_ref - psnr_ref_b| per seed (reference vs
+        # itself, same init, different equally-distributed draw — the
+        # measured f32 chaos floor)
+        "ref_self_delta_max_db": dist(self_ref),
+        "cross_within_self_floor": bool(
+            np.mean(cross) <= np.max(self_ref)
+            and np.max(cross) <= np.max(self_ref) * 1.5),
+    }
+    if verbose:
+        print(json.dumps(out, indent=2), flush=True)
+    return out
+
+
 # --------------------------------------------------------------------------- #
 # the float64 one-step loss+grad parity probe
 # --------------------------------------------------------------------------- #
@@ -821,6 +872,10 @@ def main(argv=None):
     ap.add_argument("--iters", type=int, default=100)
     ap.add_argument("--timing-objects", type=int, default=50)
     ap.add_argument("--timing-frames", type=int, default=2)
+    ap.add_argument("--multiseed", type=int, default=0,
+                    help="run the convergence twin over N seeds and record "
+                         "PSNR distributions (verdict r4 item 3)")
+    ap.add_argument("--multiseed-only", action="store_true")
     ap.add_argument("--out", default="docs/parity/twin_results.json")
     args = ap.parse_args(argv)
 
@@ -832,7 +887,13 @@ def main(argv=None):
     if args.grad_check or args.grad_check_only:
         print("== float64 one-step loss+grad parity ==")
         results["grad_check"] = run_grad_check()
-    if not args.timing_only and not args.grad_check_only:
+    if args.multiseed or args.multiseed_only:
+        print("== multi-seed convergence distributions ==")
+        results["multiseed"] = run_multiseed(
+            n_seeds=args.multiseed or 5, n_frames=args.frames,
+            n_iters=args.iters)
+    if (not args.timing_only and not args.grad_check_only
+            and not args.multiseed_only and not args.multiseed):
         print("== convergence twin (same data, same init) ==")
         results["convergence"] = run_convergence_twin(
             n_frames=args.frames, n_iters=args.iters)
