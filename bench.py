@@ -35,11 +35,15 @@ N_FRAMES_STORE = 20
 N_TIMED_FRAMES = 8
 
 
-def build_envelope(cfg=None):
+def build_envelope(cfg=None, n_slots=None, n_active=None):
     """Build the room_0 benchmark workload (state, store, tables) for a
     TrainConfig — the ONE construction shared by bench.py (headline),
     scripts/bench_ablate.py (per-knob rows), and scripts/profile_train.py
     (xplane traces), so every measurement runs the identical envelope.
+
+    ``n_slots``/``n_active`` default to the headline 64/50; pass 128/100
+    for the reference's actual model cap (train.py:231, room_0.json:22 —
+    100 fg models + bg).
 
     Returns (state, store, cam_dirs, fg_tables, bg_tables, cfg)."""
     import jax
@@ -49,12 +53,14 @@ def build_envelope(cfg=None):
     from openobj_tpu.core.frame_store import append_frame, init_frame_store
     from openobj_tpu.core.scene import Camera
 
+    n_slots = N_SLOTS if n_slots is None else n_slots
+    n_active = N_ACTIVE_OBJECTS if n_active is None else n_active
     if cfg is None:
         cfg = trainer.TrainConfig(part_mode=True)  # defaults = room_0
     cam = Camera(width=W, height=H, fx=600.0, fy=600.0, cx=599.5, cy=339.5)
 
     key = jax.random.PRNGKey(0)
-    state = trainer.init_train_state(key, cfg, n_slots=N_SLOTS)
+    state = trainer.init_train_state(key, cfg, n_slots=n_slots)
 
     store = init_frame_store(
         N_FRAMES_STORE, H, W,
@@ -62,7 +68,7 @@ def build_envelope(cfg=None):
         part_down=cfg.part_down,
     )
     rng = np.random.default_rng(0)
-    inst_full = rng.integers(-1, N_ACTIVE_OBJECTS, (H, W)).astype(np.int32)
+    inst_full = rng.integers(-1, n_active, (H, W)).astype(np.int32)
     # ONE device-resident part-feature map reused across frames: the frame
     # program's cost is content-independent (gathers/GEMMs over fixed
     # shapes), but 20 distinct host-generated maps cost ~19 extra 67 MB
@@ -94,26 +100,26 @@ def build_envelope(cfg=None):
         )
 
     K = N_FRAMES_STORE
-    active = np.zeros(N_SLOTS, bool)
-    active[:N_ACTIVE_OBJECTS] = True
+    active = np.zeros(n_slots, bool)
+    active[:n_active] = True
     bbox = np.tile(
-        np.asarray([0, H, 0, W], np.float32), (N_SLOTS, K, 1)
+        np.asarray([0, H, 0, W], np.float32), (n_slots, K, 1)
     )
     # realistic object bboxes: ~1/5 of the frame
-    bbox[:, :, 0] = rng.integers(0, H // 2, (N_SLOTS, K))
+    bbox[:, :, 0] = rng.integers(0, H // 2, (n_slots, K))
     bbox[:, :, 1] = bbox[:, :, 0] + H // 5
-    bbox[:, :, 2] = rng.integers(0, W // 2, (N_SLOTS, K))
+    bbox[:, :, 2] = rng.integers(0, W // 2, (n_slots, K))
     bbox[:, :, 3] = bbox[:, :, 2] + W // 5
     fg_tables = {
         "kf_frames": jnp.asarray(
-            rng.integers(0, N_FRAMES_STORE, (N_SLOTS, K)), jnp.int32
+            rng.integers(0, N_FRAMES_STORE, (n_slots, K)), jnp.int32
         ),
         "kf_bbox": jnp.asarray(bbox),
-        "n_kf": jnp.full((N_SLOTS,), K - 1, jnp.int32),
-        "latest2": jnp.tile(jnp.asarray([K - 3, K - 2], jnp.int32), (N_SLOTS, 1)),
+        "n_kf": jnp.full((n_slots,), K - 1, jnp.int32),
+        "latest2": jnp.tile(jnp.asarray([K - 3, K - 2], jnp.int32), (n_slots, 1)),
         "active": jnp.asarray(active),
-        "obj_inst": jnp.arange(N_SLOTS, dtype=jnp.int32),
-        "obj_center": jnp.zeros((N_SLOTS, 3), jnp.float32),
+        "obj_inst": jnp.arange(n_slots, dtype=jnp.int32),
+        "obj_center": jnp.zeros((n_slots, 3), jnp.float32),
     }
     bg_tables = {
         "kf_frames": fg_tables["kf_frames"][0],
