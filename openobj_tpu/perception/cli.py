@@ -390,6 +390,7 @@ def associate_main(argv=None):
         out["masks"], out["final_ids"],
         out["clipfeats"], out["capfeats"], out["captions"],
         image_hw=frames[0].depth.shape,
+        inst_images=out["inst_images"],   # reprojection-healed maps
     )
     if args.debug_overlays:
         hw = frames[0].depth.shape

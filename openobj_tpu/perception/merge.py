@@ -477,11 +477,17 @@ def write_artifacts(
     frame_capft: list[list[np.ndarray]],
     frame_caps: list[list[str]],
     image_hw: tuple[int, int],
+    inst_images: list[np.ndarray] | None = None,
 ):
     """Write the reference data contracts (mask_graph.py:1240-1280):
     class_our/semantic_class_<i>.png and instance_our/semantic_instance_<i>.png
     (identical int32 id images) + object_{clipfeat,capfeat,caption}.pkl
-    (per-frame {global_id: feature})."""
+    (per-frame {global_id: feature}).
+
+    ``inst_images``: pre-built per-frame id images (e.g. the pipeline's
+    reprojection-HEALED maps, perception.healing) used verbatim instead
+    of rebuilding from masks; the per-frame feature dicts still come
+    from the masks/ids."""
     import cv2
 
     h, w = image_hw
@@ -497,11 +503,15 @@ def write_artifacts(
     os.makedirs(dir_inst, exist_ok=True)
     all_clip, all_cap, all_caption = [], [], []
     for i, (masks, ids) in enumerate(zip(frame_masks, frame_final_ids)):
-        inst_img = np.zeros((h, w), np.int32)
+        if inst_images is not None:
+            inst_img = np.asarray(inst_images[i], np.int32)
+        else:
+            inst_img = np.zeros((h, w), np.int32)
         clip_d, capft_d, cap_d = {}, {}, {}
         for j, (mask, gid) in enumerate(zip(masks, ids)):
             if gid != 0:
-                inst_img[mask] = gid
+                if inst_images is None:
+                    inst_img[mask] = gid
                 clip_d[gid] = frame_clipft[i][j]
                 capft_d[gid] = frame_capft[i][j]
                 cap_d[gid] = frame_caps[i][j]

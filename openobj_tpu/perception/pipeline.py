@@ -59,6 +59,20 @@ class AssociationConfig:
     # merge.second_stage_mapping docstring — heals table legs etc.)
     contact_pc: float = 0.0
     contact_cap: float = 0.9
+    # reprojection healing of the written instance maps (deliberate
+    # capability beyond the reference — see perception.healing docstring;
+    # measured: recovers the frames where the 2D segmenter dropped or
+    # swallowed a small object under sensor noise)
+    heal_reproject: bool = True
+    heal_min_support: int = 2
+    heal_base_tol: float = 0.02
+    # >1: rebuild per-object clouds from the healed maps and heal again.
+    # Default 1: measured on the noise-tier matrix, the weighted-evidence
+    # clouds (healing.weighted_voxel_clouds) already resolve the swallow-
+    # contamination the iteration targeted, and the label->cloud feedback
+    # loop fed contact-bleed pixels back as geometry (tabletop 0.925 ->
+    # 0.916). Kept as a knob for scenes with grosser per-frame misses.
+    heal_iterations: int = 1
     min_component_px: int = 100
     dbscan_min_points: int = 100
     dbscan_eps: float = 0.05    # scale with pixel footprint: ~2 * depth / fx
@@ -211,7 +225,38 @@ def associate(
                 img[ev.mask] = gid
         inst_images.append(img)
 
+    heal_stats = None
+    if cfg.heal_reproject:
+        from openobj_tpu.perception import healing
+
+        # weighted evidence clouds straight from the per-mask raw points:
+        # the per-voxel raw-observation count is the healing support
+        # weight (an object's 16-frame evidence at a spot out-votes a
+        # 2-frame swallow contamination in another object's cloud)
+        raw_pcs: dict[int, list] = {}
+        for evs, fids in zip(ev_per_frame, final_ids):
+            for ev, g in zip(evs, fids):
+                if g != 0 and len(ev.points):
+                    raw_pcs.setdefault(g, []).append(ev.points)
+        depths_l = [fr.depth for fr in frames]
+        poses_l = [fr.t_wc for fr in frames]
+        sigma = merge.estimate_depth_noise(depths_l)
+        object_points = healing.weighted_voxel_clouds(raw_pcs)
+        for it in range(max(1, cfg.heal_iterations)):
+            inst_images, heal_stats = healing.heal_instance_images(
+                inst_images, object_points, depths_l, poses_l,
+                cfg.fx, cfg.fy, cfg.cx, cfg.cy,
+                noise_sigma=sigma,
+                min_support=cfg.heal_min_support,
+                base_tol=cfg.heal_base_tol,
+            )
+            if it + 1 < max(1, cfg.heal_iterations):
+                object_points = healing.clouds_from_labels(
+                    inst_images, depths_l, poses_l,
+                    cfg.fx, cfg.fy, cfg.cx, cfg.cy)
+
     return {
+        "heal_stats": heal_stats,
         "final_ids": final_ids,
         "cluster_ids": per_frame_ids,
         "masks": [[e.mask for e in evs] for evs in ev_per_frame],

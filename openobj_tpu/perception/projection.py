@@ -156,6 +156,12 @@ def project_masks(
     across an occlusion step) sit far beyond the surface's own sample
     spacing, so the denoise still removes them."""
     depth = depth.copy()
+    # raw sensor dropout (no measurement at all) vs range-clamped pixels:
+    # only the former are restoration candidates below — a pixel erased by
+    # the min/max clamp HAD a measurement, placing it off-object (true far
+    # background / too-close glare), so re-growing the mask over it would
+    # reintroduce exactly the bleed the 3D shrink removes.
+    raw_invalid = ~(depth > 0)
     if min_depth > 0:
         depth[depth < min_depth] = 0
     if max_depth > 0:
@@ -214,10 +220,16 @@ def project_masks(
             # of every object's 2D area at Kinect-class noise (measured,
             # noisy tabletop archetype). The 3D shrink exists to kill
             # depth BLEED, which only exists where depth is valid — so
-            # invalid-depth mask pixels are restored to the 2D mask iff
-            # they are 8-connected (transitively) to surviving evidence.
-            # They contribute no 3D points, bbox, or histogram mass.
-            inv = mask & ~depth_valid
+            # RAW-invalid (dropout) mask pixels are restored to the 2D
+            # mask iff they are 8-connected (transitively) to surviving
+            # evidence. Pixels erased by the min/max depth clamp are NOT
+            # candidates (they measured off-object; see raw_invalid
+            # above). Restoration can still bridge through DBSCAN-rejected
+            # pixels when a transitive dropout path connects them — scope
+            # accepted: capping it cost recall on real grazing-incidence
+            # bands in the noise matrix. Restored pixels contribute no 3D
+            # points, bbox, or histogram mass.
+            inv = mask & raw_invalid
             if inv.any() and new_mask.any():
                 for comp in connected_components(new_mask | inv):
                     if (comp & new_mask).any():

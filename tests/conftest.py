@@ -65,6 +65,7 @@ QUICK_MODULES = {
     "test_perception",
     "test_interop",
     "test_viz_query",
+    "test_healing",
 }
 
 
