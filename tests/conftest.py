@@ -33,7 +33,7 @@ jax.config.update("jax_enable_x64", False)
 _cache_dir = os.path.join(os.path.dirname(__file__), "..", ".cache", "jax")
 jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
 
 import numpy as np  # noqa: E402
@@ -54,10 +54,14 @@ def _clear_jax_caches_per_module():
 
 # Fast tier: `pytest -m quick` runs the load-bearing subset (ops math
 # core, sharding incl. the driver-environment dryrun regression, runtime,
-# perception pipeline, interop, viz query) in minutes instead of the full
-# suite's ~hour on this 1-core host — the tier CI/judges/driver can
-# actually verify green. Marked per MODULE: a module on this list is
-# wholly load-bearing; splitting at test granularity would rot.
+# perception pipeline, healing, interop, viz query) in minutes instead of
+# the full suite's ~hour on this 1-core host — the tier CI/judges/driver
+# can actually verify green. Measured 2026-08-21 on this host: 140 tests
+# in 265 s warm-cache (the min_compile_time_secs=0.1 below is what makes
+# warm runs warm — at the default 0.5 the suite's many sub-second
+# compiles were never cached and re-compiled every run). Marked per
+# MODULE: a module on this list is wholly load-bearing; splitting at
+# test granularity would rot.
 QUICK_MODULES = {
     "test_ops_core",
     "test_sharding",
@@ -71,7 +75,9 @@ QUICK_MODULES = {
 
 def pytest_configure(config):
     config.addinivalue_line(
-        "markers", "quick: load-bearing fast tier (pytest -m quick)")
+        "markers",
+        "quick: load-bearing fast tier (pytest -m quick; ~4.5 min warm "
+        "on a 1-core host)")
 
 
 def pytest_collection_modifyitems(config, items):
