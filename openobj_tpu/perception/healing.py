@@ -72,9 +72,16 @@ def _support_map(points_w, t_wc, depth, fx, fy, cx, cy, tol,
     if not len(u):
         return np.zeros((h, w), np.float32)
     d = depth[v, u]
-    hit = (d > 0) & (np.abs(d - z) <= tol)
+    err = np.abs(d - z)
+    hit = (d > 0) & (err <= tol)
+    # depth-proximity weighting inside the window: the surface actually AT
+    # the pixel matches at ~0 error; a nearby surface bleeding in through
+    # the tolerance (e.g. the table under a torus rim, 2-4 cm off) decays.
+    # sigma = tol/2 keeps a hard-edge-equivalent acceptance while making
+    # contested pixels a proximity vote instead of a coin flip.
+    prox = np.exp(-0.5 * (err / max(tol / 2.0, 1e-6)) ** 2)
     sup = np.zeros((h, w), np.float32)
-    np.add.at(sup, (v[hit], u[hit]), wt[hit])
+    np.add.at(sup, (v[hit], u[hit]), (wt * prox)[hit])
     return sup
 
 
