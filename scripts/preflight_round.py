@@ -97,7 +97,9 @@ def main():
                     choices=["dryrun", "bench", "quick"])
     ap.add_argument("--dryrun-budget", type=float, default=480.0)
     ap.add_argument("--bench-budget", type=float, default=1500.0)
-    ap.add_argument("--quick-budget", type=float, default=300.0)
+    ap.add_argument("--quick-budget", type=float, default=420.0)
+    # measured 272 s uncontended on this 1-core host; the margin
+    # absorbs CPU contention from concurrent jobs
     ap.add_argument("--verbose", action="store_true",
                     help="echo each stage's full output")
     args = ap.parse_args()
