@@ -55,6 +55,10 @@ def build_envelope(cfg=None, n_slots=None, n_active=None):
 
     n_slots = N_SLOTS if n_slots is None else n_slots
     n_active = N_ACTIVE_OBJECTS if n_active is None else n_active
+    assert n_active <= n_slots, (
+        f"n_active {n_active} > n_slots {n_slots}: numpy slicing would "
+        "silently clamp the active set while callers compute rays from "
+        "the requested count")
     if cfg is None:
         cfg = trainer.TrainConfig(part_mode=True)  # defaults = room_0
     cam = Camera(width=W, height=H, fx=600.0, fy=600.0, cx=599.5, cy=339.5)
@@ -158,10 +162,10 @@ DOCUMENTED_SEC_PER_FRAME = 0.123
 SUSPECT_SEC_PER_FRAME = DOCUMENTED_SEC_PER_FRAME / 4
 
 
-def _xplane_device_sec(logdir) -> float:
-    """Total device-busy seconds in a jax.profiler trace: span (max end −
-    min start) of 'XLA Ops' events on device planes of the raw .xplane.pb.
-    Host wall-clock never enters — this is the replay-proof fallback."""
+def _iter_device_events(logdir):
+    """Yield (op_family, start_ns, duration_ns) for every 'XLA Ops' event
+    on device planes of the raw .xplane.pb — the ONE parser both the
+    profiler fallback and the congestion-evidence path consume."""
     import glob as _glob
 
     os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
@@ -170,7 +174,6 @@ def _xplane_device_sec(logdir) -> float:
     paths = _glob.glob(
         os.path.join(logdir, "plugins", "profile", "*", "*.xplane.pb"))
     assert paths, f"no xplane under {logdir}"
-    t_min, t_max = None, None
     for path in paths:
         xs = xplane_pb2.XSpace()
         with open(path, "rb") as f:
@@ -178,14 +181,26 @@ def _xplane_device_sec(logdir) -> float:
         for plane in xs.planes:
             if "TPU" not in plane.name and "/device" not in plane.name:
                 continue
+            names = {k: v.name for k, v in plane.event_metadata.items()}
             for line in plane.lines:
                 if "XLA Ops" not in line.name and line.name != "Ops":
                     continue
                 for ev in line.events:
-                    start = line.timestamp_ns + ev.offset_ps / 1e3
-                    end = start + ev.duration_ps / 1e3
-                    t_min = start if t_min is None else min(t_min, start)
-                    t_max = end if t_max is None else max(t_max, end)
+                    fam = (names.get(ev.metadata_id, "?")
+                           .split(" = ")[0].lstrip("%").split(".")[0])
+                    yield (fam, line.timestamp_ns + ev.offset_ps / 1e3,
+                           ev.duration_ps / 1e3)
+
+
+def _xplane_device_sec(logdir) -> float:
+    """Total device-busy seconds in a jax.profiler trace: span (max end −
+    min start) of 'XLA Ops' events on device planes of the raw .xplane.pb.
+    Host wall-clock never enters — this is the replay-proof fallback."""
+    t_min, t_max = None, None
+    for _, start, dur in _iter_device_events(logdir):
+        end = start + dur
+        t_min = start if t_min is None else min(t_min, start)
+        t_max = end if t_max is None else max(t_max, end)
     assert t_min is not None, "no device-plane XLA Ops events in trace"
     return (t_max - t_min) / 1e9
 
@@ -199,13 +214,9 @@ def _device_scan_ms(trainer, jax, host_state, store, cam_dirs, fg_tables,
     program get slower, or is the tunnel adding per-dispatch latency?'
     (2026-08-21 reading: wall 0.20 s/frame on a congested tunnel while
     the while-row still measured 102 ms/frame — the program unchanged)."""
-    import glob as _glob
     import shutil
     import tempfile
     from collections import defaultdict
-
-    os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
-    from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
     logdir = tempfile.mkdtemp(prefix="bench_devscan_")
     try:
@@ -226,27 +237,11 @@ def _device_scan_ms(trainer, jax, host_state, store, cam_dirs, fg_tables,
             np.asarray(jax.block_until_ready(losses))
         tot = defaultdict(float)
         t_min = t_max = None
-        for path in _glob.glob(
-                os.path.join(logdir, "plugins", "profile", "*",
-                             "*.xplane.pb")):
-            xs = xplane_pb2.XSpace()
-            with open(path, "rb") as f:
-                xs.ParseFromString(f.read())
-            for plane in xs.planes:
-                if "TPU" not in plane.name and "/device" not in plane.name:
-                    continue
-                names = {k: v.name for k, v in plane.event_metadata.items()}
-                for line in plane.lines:
-                    if "XLA Ops" not in line.name and line.name != "Ops":
-                        continue
-                    for ev in line.events:
-                        nm = (names.get(ev.metadata_id, "?")
-                              .split(" = ")[0].lstrip("%").split(".")[0])
-                        tot[nm] += ev.duration_ps / 1e12
-                        start = line.timestamp_ns + ev.offset_ps / 1e3
-                        end = start + ev.duration_ps / 1e3
-                        t_min = start if t_min is None else min(t_min, start)
-                        t_max = end if t_max is None else max(t_max, end)
+        for fam, start, dur in _iter_device_events(logdir):
+            tot[fam] += dur / 1e9
+            end = start + dur
+            t_min = start if t_min is None else min(t_min, start)
+            t_max = end if t_max is None else max(t_max, end)
         out = {
             "device_scan_ms_per_frame": round(tot.get("while", 0.0) * 1e3, 1),
             "device_fusion_ms_per_frame": round(tot.get("fusion", 0.0)
@@ -347,6 +342,10 @@ def main():
     distinct = True
     method = "wall"
     attempts = []
+    honest = []          # (sec/frame, was_sync) of attempts that passed
+    #                      BOTH the floor and the distinctness check —
+    #                      min() over this list can never crown a
+    #                      replay-contaminated reading
     sec_per_frame = None
     rng = np.random.default_rng(seed)
     for attempt in range(4):
@@ -368,12 +367,11 @@ def main():
         distinct = len({v.tobytes() for v in loss_vecs}) == len(loss_vecs)
         suspect = spf < SUSPECT_SEC_PER_FRAME or not distinct
         if not suspect:
+            honest.append((spf, sync))
             if attempt == 0:
                 continue  # take a second pipelined sample; keep the best
-            if sync:
-                method = "wall_sync"
-            honest = [a for a in attempts if a >= SUSPECT_SEC_PER_FRAME]
-            sec_per_frame = min(honest)
+            sec_per_frame, best_sync = min(honest)
+            method = "wall_sync" if best_sync else "wall"
             break
         # content-unique retry: overwrite 2 store frames with fresh pixels
         from openobj_tpu.core.frame_store import append_frame
@@ -386,6 +384,13 @@ def main():
                 rng.uniform(0.5, 6.0, (H, W)).astype(np.float32),
                 np.asarray(store.inst[f]), pose, at=f)
 
+    if sec_per_frame is None and honest:
+        # an earlier attempt was honest but the loop ran out on later
+        # suspect ones (e.g. a clean attempt 0 followed by replay-tainted
+        # retries): bank the honest reading rather than discarding it
+        sec_per_frame, best_sync = min(honest)
+        method = "wall_sync" if best_sync else "wall"
+        suspect = False
     if sec_per_frame is None:
         # every wall attempt tripped the detector — the tunnel is replaying
         # regardless of content. Fall back to PROFILER device time: xplane
@@ -489,10 +494,14 @@ def main():
                 "value": round(rays_per_sec, 1),
                 "unit": "rays/s",
                 "vs_baseline": round(rays_per_sec / REF_RAYS_PER_SEC, 2),
-                # how the number was obtained: "wall" = synchronous
-                # per-frame wall clock (losses fetched to host each frame);
-                # "profiler" = xplane device time (used only when every
-                # wall attempt tripped the replay detector)
+                # how the number was obtained: "wall" = pipelined
+                # dispatch, one block, every loss vector then fetched and
+                # checked distinct; "wall_sync" = per-frame synchronous
+                # (losses fetched before the next dispatch; includes one
+                # tunnel round trip per frame); "device_span" = xplane
+                # device time of one traced frame (catastrophic tunnel
+                # congestion); "profiler" = xplane device time over 2
+                # frames (every wall attempt tripped the replay detector)
                 "method": method,
                 "timing_suspect_dispatch_replay": suspect,
                 # the reference publishes no numbers; the denominator is the

@@ -217,12 +217,18 @@ def heal_instance_images(
             & (best_sup >= majority * inc_sup)
         claim = beats & (best_gid != img)
         if dilate_px:
-            # a claim may extend into the claimant's dilated footprint,
-            # but still only onto pixels whose own depth agrees (>= 1
-            # supporting point) and where the incumbent has nothing
-            foot = _dilate(beats, dilate_px)
-            claim |= foot & (best_sup >= 1) & (inc_sup == 0) \
-                & (best_gid != img)
+            # a claim may extend into the claimant's OWN dilated footprint
+            # (per gid — dilating the union would let object B claim
+            # pixels adjacent only to object A's beat region), still only
+            # onto pixels whose own depth agrees (>= 1 supporting point)
+            # and where the incumbent has nothing
+            for gid in ids:
+                mine = beats & (best_gid == gid)
+                if not mine.any():
+                    continue
+                foot = _dilate(mine, dilate_px)
+                claim |= foot & (best_gid == gid) & (best_sup >= 1) \
+                    & (inc_sup == 0) & (best_gid != img)
         relabeled = claim & (img != 0)
         out[claim] = best_gid[claim]
         stats["claimed_px"] += int(claim.sum())

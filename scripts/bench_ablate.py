@@ -60,7 +60,8 @@ def timed(cfg_kwargs, label, n_slots=None, n_active=None):
         "rays_per_sec": round(rays / spf, 1),
         # scaled plausibility floor: rows with more active objects do
         # proportionally more work
-        "suspect": spf < bench.SUSPECT_SEC_PER_FRAME * (n_act / 50.0),
+        "suspect": spf < bench.SUSPECT_SEC_PER_FRAME
+        * (n_act / bench.N_ACTIVE_OBJECTS),
     }), flush=True)
 
 

@@ -49,8 +49,12 @@ def run_timed(cmd, timeout_s, env=None):
 
 def check_dryrun(budget_s):
     code = ("import __graft_entry__; __graft_entry__.dryrun_multichip(8)")
+    # propagate the budget into the gate's own deadline ladder so the
+    # child plans against the SAME number this check enforces
+    env = dict(os.environ)
+    env["OPENOBJ_DRYRUN_BUDGET_S"] = str(budget_s)
     rc, wall, out = run_timed([sys.executable, "-u", "-c", code],
-                              timeout_s=budget_s + 120)
+                              timeout_s=budget_s + 120, env=env)
     checks = [ln for ln in out.splitlines()
               if ln.startswith("dryrun_multichip ")]
     ok = rc == 0 and wall <= budget_s and any(
@@ -72,11 +76,15 @@ def check_bench(budget_s):
         j = json.loads(line)
     except ValueError:
         return False, "JSON line unparseable", out
+    sys.path.insert(0, REPO)
+    import bench
+
+    budget = bench.DOCUMENTED_SEC_PER_FRAME
     val = j.get("value")
     suspect = j.get("timing_suspect_dispatch_replay", False)
     spf = (j.get("detail") or {}).get("sec_per_frame")
     ok = (val is not None and not suspect
-          and spf is not None and 0.123 / 4 <= spf <= 0.123 * 4)
+          and spf is not None and budget / 4 <= spf <= budget * 4)
     detail = (f"rc={rc} value={val} method={j.get('method')} "
               f"sec_per_frame={spf} suspect={suspect}")
     return ok, detail, out
