@@ -34,6 +34,11 @@ class SceneConfig:
     max_depth: float = 8.0
     min_depth: float = 0.0
     max_n_models: int = 100
+    # bbox min-side filter in PIXELS (reference dataset.py:147 hardcodes
+    # 10 at Replica's 1200-px width; at miniature resolutions the same
+    # absolute threshold silently drops every real small object — the
+    # full-system matrix sets ~10 * width/1200)
+    min_bbox_side: int = 10
     imap_mode: bool = False
     keyframe_buffer_size: int = 20
     keyframe_step: float = 25
@@ -146,6 +151,7 @@ def load_scene_config(path: str) -> SceneConfig:
         max_depth=rd["depth_range"][1],
         min_depth=rd["depth_range"][0],
         max_n_models=tr.get("n_models", 100),
+        min_bbox_side=int(tr.get("min_bbox_side", 10)),
         imap_mode=bool(tr.get("imap_mode", 0)),
         keyframe_buffer_size=md["keyframe_buffer_size"],
         keyframe_step=md["keyframe_step"] / stride,

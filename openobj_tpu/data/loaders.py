@@ -175,7 +175,8 @@ class _SequenceDataset:
                  part_mode: bool = False, part_down: int = 5,
                  imap_mode: bool = False, camera=None, distortion=None,
                  apply_undistort: bool = False,
-                 margin_h: int = 0, margin_w: int = 0):
+                 margin_h: int = 0, margin_w: int = 0,
+                 min_bbox_side: int = 10):
         self.root_dir = root_dir
         self.start = start
         self.stride = stride
@@ -184,6 +185,7 @@ class _SequenceDataset:
         self.part_mode = part_mode
         self.part_down = part_down
         self.imap_mode = imap_mode
+        self.min_bbox_side = min_bbox_side
         # undistortion (reference image_transforms.py:36-59; maps built
         # lazily from the first frame's size). Explicit opt-in: the
         # reference parses coefficients but never applies Undistort in its
@@ -280,6 +282,7 @@ class _SequenceDataset:
         inst, bboxes, clip_d, cap_d = process_instance_frame(
             inst_raw,
             self.obj_clipfeat[idx_no], self.obj_capfeat[idx_no],
+            min_side=self.min_bbox_side,
             imap_mode=self.imap_mode,
         )
         pf = None
@@ -379,6 +382,7 @@ def make_dataset(scene_cfg):
         part_mode=scene_cfg.train.part_mode,
         part_down=scene_cfg.train.part_down,
         imap_mode=scene_cfg.imap_mode,
+        min_bbox_side=getattr(scene_cfg, "min_bbox_side", 10),
         camera=scene_cfg.camera,
         distortion=scene_cfg.distortion,
         apply_undistort=scene_cfg.undistort,

@@ -84,7 +84,15 @@ def _scene_config(root, w, h, fx, fy, cx, cy, iters, stride, n_models=16):
         "optimizer": {"args": {"lr": 0.001, "weight_decay": 0.013}},
         "trainer": {"part_mode": 0, "part_down": 5, "imap_mode": 0,
                     "start": 0, "stride": stride, "do_bg": 1,
-                    "n_models": n_models, "scale": 1000.0},
+                    "n_models": n_models, "scale": 1000.0,
+                    # resolution-scaled bbox filter: the reference's
+                    # absolute 10-px min side (dataset.py:147) assumes
+                    # 1200-px frames; at the matrix's miniature W it
+                    # silently drops every real small object (measured:
+                    # the tabletop archetype trained only bg+table —
+                    # three 7-px objects never got slots, rendered
+                    # inst_mIoU 0.16 while association scored 0.99)
+                    "min_bbox_side": max(2, round(10 * w / 1200))},
         "render": {"depth_range": [0.0, 8.0], "n_bins": 9,
                    "n_bins_cam2surface": 1, "n_bins_cam2surface_bg": 5,
                    "iters_per_frame": iters, "n_per_optim": 120,
